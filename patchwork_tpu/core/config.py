@@ -62,6 +62,19 @@ class PatchworkConfig:
     # and the residual threshold grows as (1+1.5*d).
     max_levels: int = 6
 
+    # Compact node pool for levels >= 1: split children renumber into this
+    # many slots, keeping every level's segment count (and segment-op
+    # cost) bounded instead of doubling per level.  0 = auto
+    # (2 * num_patches, exactly enough for every base patch to split).
+    # If more than max_active_nodes/2 nodes split at one depth, the excess
+    # (highest node ids) keep their converged masks — raise this for
+    # pathologically fragmented scenes.
+    max_active_nodes_cfg: int = 0
+
+    # Segment-op backend: None = auto per platform ('onehot' MXU matmul
+    # formulation on TPU, 'scatter' elsewhere); see segment/segops.py.
+    segment_impl: str | None = None
+
     def __post_init__(self) -> None:
         if self.num_rings < 1 or self.num_sectors < 1:
             raise ValueError("num_rings and num_sectors must be >= 1")
@@ -74,6 +87,10 @@ class PatchworkConfig:
     @property
     def num_patches(self) -> int:
         return self.num_rings * self.num_sectors
+
+    @property
+    def max_active_nodes(self) -> int:
+        return self.max_active_nodes_cfg or 2 * self.num_patches
 
     @property
     def effective_levels(self) -> int:

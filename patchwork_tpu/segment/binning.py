@@ -53,7 +53,7 @@ class PatchAssignment(NamedTuple):
 
 
 def assign_patches(
-    xyz: jax.Array, valid: jax.Array, cfg: PatchworkConfig
+    xyz: jax.Array, valid: jax.Array, cfg: PatchworkConfig, impl: str = "scatter"
 ) -> PatchAssignment:
     """Assign each point a ring*num_sectors+sector patch id in one pass."""
     num_p = cfg.num_patches
@@ -80,10 +80,12 @@ def assign_patches(
     # Per-patch mean 2D distance (reference computes it per patch at the
     # top-level call and threads it unchanged through the recursion,
     # src/recursive_patchwork.cpp:383-390).
+    from .segops import SegOps
+
     w = in_patch.astype(jnp.float32)
-    sum_d = jax.ops.segment_sum(d * w, patch, num_segments=num_p + 1)
-    cnt = jax.ops.segment_sum(w, patch, num_segments=num_p + 1)
-    mean_dist = sum_d / jnp.maximum(cnt, 1.0)
+    ops = SegOps(patch, num_p + 1, impl)
+    sums = ops.sum(jnp.stack([d * w, w], axis=1))
+    mean_dist = sums[:, 0] / jnp.maximum(sums[:, 1], 1.0)
     rel_dist = mean_dist / jnp.float32(cfg.filtering_radius)
 
     return PatchAssignment(patch, in_patch, in_zone, fin, d, rel_dist)

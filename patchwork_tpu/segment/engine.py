@@ -8,15 +8,23 @@ round-trip per plane-distance evaluation (cpp:206).
 
 Here the same semantics are re-stated as a fixed-shape SPMD program:
 
-* every point carries a *node id*; level k has num_patches * 2^k nodes —
-  the recursion is flattened into ``max_levels`` batched levels;
+* every point carries a *node id*; the recursion is flattened into
+  ``max_levels`` batched levels.  Node ids are COMPACT: level 0 uses the
+  num_patches patch ids; deeper levels renumber the (rare) split children
+  into a fixed pool of ``max_active_nodes`` slots, so the segment count —
+  and with it the cost of every segment op — stays bounded instead of
+  doubling per level;
 * per-node statistics (counts, bounding boxes, seeds, plane moments,
-  medians) are segment reductions / segment sorts over the whole cloud —
-  every node of a level is processed simultaneously;
-* the <= max_iter re-fit loop runs as ONE ``lax.while_loop`` over the whole
-  level with per-node convergence masks (converged nodes freeze; the loop
-  exits when all nodes converged — same early-exit as the reference's
-  per-patch ``break``, cpp:215);
+  medians) are segment reductions / segment sorts over the whole cloud;
+  on TPU they run as one-hot matmuls on the MXU (segops.SegOps) — ~9x
+  faster than scatter at KITTI scale;
+* the <= max_iter re-fit loop runs as ONE ``lax.while_loop`` over the
+  whole level.  There is no per-node freeze bookkeeping: converged nodes
+  re-fit idempotently (same mask -> same plane -> same mask), nodes whose
+  ground support drops below 3 points stop updating by construction
+  (their mask never changes again), and the loop exits when no node
+  changed — exactly the reference's per-patch break conditions
+  (cpp:196,215) without the control flow;
 * plane normals come from the batched closed-form 3x3 eigensolve
   (ops/geometry.py) instead of per-patch host Eigen calls (cpp:89).
 
@@ -31,13 +39,12 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..core.config import PatchworkConfig
 from ..core.types import GroundResult
 from ..ops.geometry import eigh3x3
 from .binning import assign_patches
-from .segops import seg_max, seg_min, seg_sum, sort_by_segment
+from .segops import SegOps, default_impl, sort_by_segment
 
 __all__ = ["filter_ground", "make_filter_ground", "make_filter_ground_batched"]
 
@@ -45,24 +52,14 @@ _F32 = jnp.float32
 _INF = jnp.float32(jnp.inf)
 
 
-def _fit_planes(xyz, gmask, seg, num_segs):
-    """Batched masked PCA plane fit per segment.
+def _cov_normal(m2: jax.Array, gcnt: jax.Array):
+    """(S, 6) centered second moments -> plane normal per segment.
 
-    Returns (gcnt (S,), normal (S,3), dist (N,)) where ``dist`` is each
-    point's |(p - c_seg) . n_seg| against its own segment's plane.
-    Mirrors fitPlanePCA (cpp:77-107) + computePlaneDistances (cuda_wrapper.cu:89-102).
+    Mirrors fitPlanePCA's covariance/(n-1) + smallest-eigenvector + flip
+    to +Z (cpp:86-95).
     """
-    g = gmask.astype(_F32)
-    first = seg_sum(jnp.concatenate([xyz * g[:, None], g[:, None]], axis=1), seg, num_segs)
-    gcnt = first[:, 3]
-    centroid = first[:, :3] / jnp.maximum(gcnt, 1.0)[:, None]
-
-    d = xyz - centroid[seg]
-    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
-    prods = jnp.stack([dx * dx, dx * dy, dx * dz, dy * dy, dy * dz, dz * dz], axis=1)
-    second = seg_sum(prods * g[:, None], seg, num_segs)
     denom = jnp.maximum(gcnt - 1.0, 1.0)[:, None]
-    m = second / denom  # (S, 6): xx, xy, xz, yy, yz, zz
+    m = m2 / denom  # xx, xy, xz, yy, yz, zz
     cov = jnp.stack(
         [
             jnp.stack([m[:, 0], m[:, 1], m[:, 2]], axis=-1),
@@ -72,173 +69,278 @@ def _fit_planes(xyz, gmask, seg, num_segs):
         axis=-2,
     )
     _, normal = eigh3x3(cov)
-    normal = jnp.where(normal[:, 2:3] < 0, -normal, normal)
-    dist = jnp.abs(jnp.einsum("ni,ni->n", d, normal[seg], precision="highest"))
-    return gcnt, normal, dist
+    return jnp.where(normal[:, 2:3] < 0, -normal, normal)
+
+
+def _fit_step(ops: SegOps, xyz, gmask):
+    """One batched masked PCA fit: returns (gcnt, centroid, normal, dist).
+
+    ``dist`` is each point's |(p - c_seg) . n_seg| against its own
+    segment's plane (fitPlanePCA cpp:77-107 + computePlaneDistances).
+    Two segment passes (sums, then centered products) keep f32 accuracy —
+    the same two-pass structure as the reference.
+    """
+    g = gmask.astype(_F32)
+    m1 = ops.sum(jnp.concatenate([g[:, None], xyz * g[:, None]], axis=1))
+    gcnt = m1[:, 0]
+    centroid = m1[:, 1:4] / jnp.maximum(gcnt, 1.0)[:, None]
+
+    c_pt = ops.gather(centroid)  # (N, 3)
+    d_all = xyz - c_pt
+    d = d_all * g[:, None]
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    m2 = ops.sum(
+        jnp.stack([dx * dx, dx * dy, dx * dz, dy * dy, dy * dz, dz * dz], axis=1)
+    )
+    normal = _cov_normal(m2, gcnt)
+    n_pt = ops.gather(normal)
+    dist = jnp.abs(jnp.einsum("ni,ni->n", d_all, n_pt, precision="highest"))
+    return gcnt, centroid, normal, dist
+
+
+def _run_level(cfg, impl, xyz, pa, tau_patch, zth_patch, lvl, num_segs, is_level0, state):
+    """Execute one split level for every active node simultaneously.
+
+    ``lvl`` may be a traced scalar (levels >= 1 run inside a while_loop);
+    ``num_segs``/``is_level0`` are static.  ``state`` is the level-uniform
+    carry (node, node_patch, done, ground, has_children).
+    """
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    num_p = cfg.num_patches
+    cap_a = cfg.max_active_nodes
+    eff_levels = cfg.effective_levels
+    node, node_patch_in, done, ground, _ = state
+    trash = num_segs - 1
+    lvl_f = jnp.asarray(lvl, _F32)
+
+    active = pa.in_patch & ~done
+    seg = jnp.where(active, node, trash)
+    ops = SegOps(seg, num_segs, impl)
+
+    # level-0 node->patch map is the identity; deeper levels carry a table
+    node_patch = (
+        jnp.arange(num_segs, dtype=jnp.int32) if is_level0 else node_patch_in
+    )
+    tau_node = tau_patch[node_patch]  # (S,) tiny gathers
+    zth_node = zth_patch[node_patch]
+
+    # ---- per-node stats (counts + bounding box) ----
+    cnt_i = ops.count(active)
+    xmin = ops.min(x, active)
+    xmax = ops.max(x, active)
+    ymin = ops.min(y, active)
+    ymax = ops.max(y, active)
+    zmin = ops.min(z, active)
+    zmax = ops.max(z, active)
+
+    node_ids = jnp.arange(num_segs, dtype=jnp.int32)
+    real = node_ids < trash
+
+    # ---- early-outs, in reference order (cpp:111-140) ----
+    too_small = cnt_i < 3
+    area = (xmax - xmin) * (ymax - ymin)
+    if is_level0:  # area early-out requires depth > 0 (cpp:127)
+        flat_area = jnp.zeros_like(too_small)
+    else:
+        flat_area = (area < _F32(cfg.flat_area_m2)) & ~too_small
+    flat_z = ((zmax - zmin) < _F32(cfg.flat_dz)) & (cnt_i > cfg.flat_min_points)
+    flat_z = flat_z & ~too_small & ~flat_area
+    finished_now = real & (too_small | flat_area | flat_z)
+    label_true = flat_area | flat_z
+    fit_node = real & ~finished_now
+
+    # ---- seed selection (cpp:143-182) ----
+    sortz = sort_by_segment(seg, z, num_segs)
+    if cfg.adaptive_seed_height:
+        z_th = zth_node
+    else:
+        k10 = (_F32(cfg.seed_percentile) * cnt_i.astype(_F32)).astype(jnp.int32)
+        z_th = sortz.order_stat(k10) + _F32(cfg.th_seeds)
+
+    # one bundled per-point gather: [z_th, finished, label, fit]
+    t1 = ops.gather(
+        jnp.stack(
+            [
+                z_th,
+                finished_now.astype(_F32),
+                label_true.astype(_F32),
+                fit_node.astype(_F32),
+            ],
+            axis=1,
+        )
+    )
+    zth_pt = t1[:, 0]
+    finished_pt = t1[:, 1] > 0.5
+    label_pt = t1[:, 2] > 0.5
+    fit_pt = t1[:, 3] > 0.5
+
+    seed = active & (z < zth_pt)
+    seed_cnt = ops.count(seed)
+    deficient = fit_node & (seed_cnt < cfg.min_seed_points)
+    low3 = sortz.scatter_rank_below(cfg.min_seed_points)
+    deficient_pt = ops.gather_bool(deficient)
+    seed = jnp.where(deficient_pt, low3, seed) & active
+
+    # ---- write early-out labels; init fitting nodes with seeds ----
+    ground = jnp.where(active & finished_pt, label_pt, ground)
+    ground = jnp.where(active & fit_pt, seed, ground)
+    done = done | (active & finished_pt)
+
+    # ---- batched iterative plane fitting (cpp:186-217) ----
+    tau_pt = ops.gather(tau_node)
+
+    def _cond(st):
+        _, any_changed, it = st
+        return (it < cfg.max_iter) & any_changed
+
+    def _body(st):
+        g_mask, _, it = st
+        gcnt, _, _, dist = _fit_step(ops, xyz, g_mask & active)
+        can_pt = ops.gather((gcnt >= 3.0).astype(_F32)) > 0.5
+        new_g = dist < tau_pt
+        apply_pt = active & fit_pt & can_pt
+        changed = apply_pt & (new_g != g_mask)
+        g_next = jnp.where(apply_pt, new_g, g_mask)
+        return g_next, jnp.any(changed), it + 1
+
+    ground, _, _ = jax.lax.while_loop(
+        _cond, _body, (ground, jnp.bool_(True), jnp.int32(0))
+    )
+
+    # ---- final fit, residual, split decision (cpp:219-235) ----
+    g_final = ground & active
+    gcnt, _, _, dist = _fit_step(ops, xyz, g_final)
+    resid = ops.sum(dist * g_final.astype(_F32)) / jnp.maximum(gcnt, 1.0)
+    resid = jnp.where(gcnt >= 3.0, resid, _INF)
+
+    # split allowed while below both the depth cap and the level budget
+    split_thresh = _F32(cfg.th_dist) * (1.0 + _F32(cfg.split_residual_slope) * lvl_f)
+    min_sz = (
+        cfg.split_min_points_base
+        + cfg.split_min_points_slope * jnp.asarray(lvl, jnp.int32)
+    )
+    depth_ok = jnp.asarray(lvl, jnp.int32) < min(cfg.max_split_depth, eff_levels - 1)
+    split = fit_node & (resid > split_thresh) & (cnt_i >= min_sz) & depth_ok
+
+    # ---- variance-axis median split (cpp:237-283) ----
+    w = active.astype(_F32)
+    sums = ops.sum(jnp.stack([x * w, y * w], axis=1))
+    c_all = sums / jnp.maximum(cnt_i.astype(_F32), 1.0)[:, None]
+    c_pt = ops.gather(c_all)
+    dx = (x - c_pt[:, 0]) * w
+    dy = (y - c_pt[:, 1]) * w
+    var = ops.sum(jnp.stack([dx * dx, dy * dy], axis=1))
+    axis_is_x = var[:, 0] > var[:, 1]
+
+    val = jnp.where(ops.gather_bool(axis_is_x), x, y)
+    sortv = sort_by_segment(seg, val, num_segs)
+    median = sortv.order_stat(cnt_i // 2)
+
+    # ---- compact child slot assignment ----
+    # Children of split nodes renumber into [0, cap_a); nodes whose
+    # children would overflow the pool keep their converged mask (depth
+    # truncation — raise cfg.max_active_nodes for pathological scenes).
+    split_i = split.astype(jnp.int32)
+    rank = jnp.cumsum(split_i) - split_i
+    base_slot = 2 * rank
+    ok = split & (base_slot + 1 < cap_a)
+
+    t2 = ops.gather(
+        jnp.stack([median, ok.astype(_F32), base_slot.astype(_F32)], axis=1)
+    )
+    median_pt = t2[:, 0]
+    ok_pt = t2[:, 1] > 0.5
+    slot_pt = t2[:, 2].astype(jnp.int32)
+
+    done = done | (active & fit_pt & ~ok_pt)
+    go_right = (val > median_pt).astype(jnp.int32)
+    node = jnp.where(active & ok_pt, slot_pt + go_right, node)
+
+    # next level's node -> patch table ((cap_a+1,), trash -> P)
+    idx0 = jnp.where(ok, base_slot, cap_a + 1)
+    np_next = jnp.full((cap_a + 3,), num_p, jnp.int32)
+    np_next = np_next.at[idx0].set(jnp.where(ok, node_patch, num_p))
+    np_next = np_next.at[idx0 + 1].set(jnp.where(ok, node_patch, num_p))
+    node_patch_out = np_next[: cap_a + 1]
+
+    return node, node_patch_out, done, ground, jnp.any(ok)
 
 
 def filter_ground(
-    xyz: jax.Array, valid: jax.Array, cfg: PatchworkConfig
+    xyz: jax.Array, valid: jax.Array, cfg: PatchworkConfig, impl: str | None = None
 ) -> GroundResult:
     """Segment one scan into ground / non-ground masks.
 
     ``xyz``: (N, 3) float32, ``valid``: (N,) bool.  Shapes are static; jit
-    this with ``cfg`` static (see :func:`make_filter_ground`).
-    """
-    pa = assign_patches(xyz, valid, cfg)
-    num_p = cfg.num_patches
-    eff_levels = cfg.effective_levels
+    this with ``cfg`` static (see :func:`make_filter_ground`).  ``impl``
+    selects the segment-op backend (None = auto per platform).
 
-    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    Level 0 (all base patches) always runs; deeper levels run inside a
+    ``lax.while_loop`` that exits as soon as no node split — a typical
+    scan pays for level 0 plus only the levels that actually recurse,
+    instead of all ``max_levels`` (data-dependent skipping the reference
+    gets from plain recursion, recovered here without dynamic shapes).
+    """
+    impl = impl or cfg.segment_impl or default_impl()
+    pa = assign_patches(xyz, valid, cfg, impl=impl)
+    num_p = cfg.num_patches
+    cap_a = cfg.max_active_nodes
+    eff_levels = cfg.effective_levels
     n_points = xyz.shape[0]
 
     # Per-base-patch thresholds, threaded unchanged through all split
     # levels (reference passes mean_dist down the recursion, cpp:286-287).
-    rel = pa.rel_dist  # (P+1,)
-    tau_patch = _F32(cfg.th_dist) * (1.0 + _F32(cfg.tau_slope) * rel)
-    zth_patch = _F32(cfg.sensor_height) + _F32(cfg.seed_slope) * rel
+    tau_patch = _F32(cfg.th_dist) * (1.0 + _F32(cfg.tau_slope) * pa.rel_dist)
+    zth_patch = _F32(cfg.sensor_height) + _F32(cfg.seed_slope) * pa.rel_dist
 
-    node = pa.patch.astype(jnp.int32)  # level-0 node id == patch id
-    done = ~pa.in_patch
-    ground = jnp.zeros((n_points,), bool)
+    state = (
+        pa.patch.astype(jnp.int32),               # node (level-0 = patch id)
+        jnp.zeros((cap_a + 1,), jnp.int32),       # node -> patch (levels >= 1)
+        ~pa.in_patch,                             # done
+        jnp.zeros((n_points,), bool),             # ground
+        jnp.bool_(True),                          # has_children
+    )
 
-    for level in range(eff_levels):
-        num_nodes = num_p * (1 << level)
-        trash = num_nodes
-        num_segs = num_nodes + 1
+    state = _run_level(
+        cfg, impl, xyz, pa, tau_patch, zth_patch, 0, num_p + 1, True, state
+    )
 
-        active = pa.in_patch & ~done
-        seg = jnp.where(active, node, trash)
-        w = active.astype(_F32)
+    if eff_levels > 1:
+        def _cond(carry):
+            lvl, st = carry
+            return (lvl < eff_levels) & st[4]
 
-        # ---- per-node stats (counts + bounding box) ----
-        cnt_i = seg_sum(active.astype(jnp.int32), seg, num_segs)
-        big = _INF
-        xmin = seg_min(jnp.where(active, x, big), seg, num_segs)
-        xmax = seg_max(jnp.where(active, x, -big), seg, num_segs)
-        ymin = seg_min(jnp.where(active, y, big), seg, num_segs)
-        ymax = seg_max(jnp.where(active, y, -big), seg, num_segs)
-        zmin = seg_min(jnp.where(active, z, big), seg, num_segs)
-        zmax = seg_max(jnp.where(active, z, -big), seg, num_segs)
-
-        node_ids = jnp.arange(num_segs, dtype=jnp.int32)
-        real = node_ids < num_nodes
-        patch_of_node = jnp.minimum(node_ids >> level, num_p)  # trash -> P slot
-
-        # ---- early-outs, in reference order (cpp:111-140) ----
-        too_small = cnt_i < 3
-        area = (xmax - xmin) * (ymax - ymin)
-        flat_area = (area < _F32(cfg.flat_area_m2)) if level > 0 else jnp.zeros_like(too_small)
-        flat_area = flat_area & ~too_small
-        flat_z = ((zmax - zmin) < _F32(cfg.flat_dz)) & (cnt_i > cfg.flat_min_points)
-        flat_z = flat_z & ~too_small & ~flat_area
-        finished_now = real & (too_small | flat_area | flat_z)
-        label_true = flat_area | flat_z
-        fit_node = real & ~finished_now & (cnt_i >= 3)
-
-        # ---- seed selection (cpp:143-182) ----
-        sortz = sort_by_segment(seg, z, num_segs)
-        if cfg.adaptive_seed_height:
-            z_th = zth_patch[patch_of_node]
-        else:
-            k10 = (_F32(cfg.seed_percentile) * cnt_i.astype(_F32)).astype(jnp.int32)
-            z_th = sortz.order_stat(k10) + _F32(cfg.th_seeds)
-        seed = active & (z < z_th[seg])
-        seed_cnt = seg_sum(seed.astype(jnp.int32), seg, num_segs)
-        deficient = fit_node & (seed_cnt < cfg.min_seed_points)
-        low3 = sortz.scatter_rank_below(cfg.min_seed_points)
-        seed = jnp.where(deficient[seg], low3, seed) & active
-
-        # ---- write early-out labels; init fitting nodes with seeds ----
-        ground = jnp.where(active & finished_now[seg], label_true[seg], ground)
-        ground = jnp.where(active & fit_node[seg], seed, ground)
-        done = done | (active & finished_now[seg])
-
-        # ---- batched iterative plane fitting (cpp:186-217) ----
-        tau_node = tau_patch[patch_of_node]
-
-        def _cond(state):
-            _, iter_active, it = state
-            return (it < cfg.max_iter) & jnp.any(iter_active)
-
-        def _body(state):
-            g_mask, iter_active, it = state
-            gcnt, _, dist = _fit_planes(xyz, g_mask & active, seg, num_segs)
-            can_fit = gcnt >= 3.0
-            update_node = iter_active & can_fit
-            new_g = dist < tau_node[seg]
-            apply_pt = active & update_node[seg]
-            changed = apply_pt & (new_g != g_mask)
-            node_changed = seg_sum(changed.astype(jnp.int32), seg, num_segs) > 0
-            g_next = jnp.where(apply_pt, new_g, g_mask)
-            return g_next, update_node & node_changed, it + 1
-
-        ground, _, _ = jax.lax.while_loop(
-            _cond, _body, (ground, fit_node, jnp.int32(0))
-        )
-
-        # ---- final fit, residual, split decision (cpp:219-235) ----
-        g_final = ground & active
-        gcnt, _, dist = _fit_planes(xyz, g_final, seg, num_segs)
-        resid = seg_sum(dist * g_final.astype(_F32), seg, num_segs) / jnp.maximum(
-            gcnt, 1.0
-        )
-        resid = jnp.where(gcnt >= 3.0, resid, _INF)
-
-        can_split_level = (level < eff_levels - 1) and (level < cfg.max_split_depth)
-        if can_split_level:
-            split_thresh = _F32(cfg.th_dist) * (
-                1.0 + _F32(cfg.split_residual_slope) * level
+        def _body(carry):
+            lvl, st = carry
+            st = _run_level(
+                cfg, impl, xyz, pa, tau_patch, zth_patch, lvl, cap_a + 1, False, st
             )
-            min_sz = cfg.split_min_points_base + cfg.split_min_points_slope * level
-            split = fit_node & (resid > split_thresh) & (cnt_i >= min_sz)
+            return lvl + 1, st
 
-            done = done | (active & fit_node[seg] & ~split[seg])
+        _, state = jax.lax.while_loop(_cond, _body, (jnp.int32(1), state))
 
-            # ---- variance-axis median split (cpp:237-283) ----
-            sums = seg_sum(
-                jnp.stack([x, y], axis=1) * w[:, None], seg, num_segs
-            )
-            c_all = sums / jnp.maximum(cnt_i.astype(_F32), 1.0)[:, None]
-            dx = (x - c_all[seg, 0]) * w
-            dy = (y - c_all[seg, 1]) * w
-            var = seg_sum(jnp.stack([dx * dx, dy * dy], axis=1), seg, num_segs)
-            axis_is_x = var[:, 0] > var[:, 1]
-
-            val = jnp.where(axis_is_x[seg], x, y)
-            sortv = sort_by_segment(seg, val, num_segs)
-            median = sortv.order_stat(cnt_i // 2)
-
-            go_right = active & split[seg] & (val > median[seg])
-            node = node * 2 + go_right.astype(jnp.int32)
-        else:
-            # Last level: every remaining fitting node keeps its converged
-            # mask (reference recursion would have split further; depth is
-            # truncated at cfg.max_levels — see PatchworkConfig.max_levels).
-            done = done | (active & fit_node[seg])
-
-    ground = ground & pa.in_patch
+    ground = state[3] & pa.in_patch
     return GroundResult(
         ground=ground, valid=pa.finite, in_zone=pa.in_zone, in_patch=pa.in_patch
     )
 
 
-def make_filter_ground(cfg: PatchworkConfig):
+def make_filter_ground(cfg: PatchworkConfig, impl: str | None = None):
     """jit-compiled single-scan engine: (xyz (N,3), valid (N,)) -> GroundResult."""
 
     @jax.jit
     def fn(xyz, valid):
-        return filter_ground(xyz, valid, cfg)
+        return filter_ground(xyz, valid, cfg, impl=impl)
 
     return fn
 
 
-def make_filter_ground_batched(cfg: PatchworkConfig):
+def make_filter_ground_batched(cfg: PatchworkConfig, impl: str | None = None):
     """jit-compiled batched engine: (xyz (B,N,3), valid (B,N)) -> GroundResult."""
 
     @jax.jit
     @functools.partial(jax.vmap, in_axes=(0, 0))
     def fn(xyz, valid):
-        return filter_ground(xyz, valid, cfg)
+        return filter_ground(xyz, valid, cfg, impl=impl)
 
     return fn
