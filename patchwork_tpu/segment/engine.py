@@ -25,6 +25,11 @@ Here the same semantics are re-stated as a fixed-shape SPMD program:
   (their mask never changes again), and the loop exits when no node
   changed — exactly the reference's per-patch break conditions
   (cpp:196,215) without the control flow;
+* ALL split machinery (variance axis, per-node median sort, child slot
+  assignment) lives INSIDE the deeper-level while_loop, which exits as
+  soon as no node split: a scan with no recursion pays for level 0's
+  fit only — the data-dependent skipping the reference gets from plain
+  recursion, recovered without dynamic shapes;
 * plane normals come from the batched closed-form 3x3 eigensolve
   (ops/geometry.py) instead of per-patch host Eigen calls (cpp:89).
 
@@ -73,7 +78,7 @@ def _cov_normal(m2: jax.Array, gcnt: jax.Array):
 
 
 def _fit_step(ops: SegOps, xyz, gmask):
-    """One batched masked PCA fit: returns (gcnt, centroid, normal, dist).
+    """One batched masked PCA fit: returns (gcnt, dist).
 
     ``dist`` is each point's |(p - c_seg) . n_seg| against its own
     segment's plane (fitPlanePCA cpp:77-107 + computePlaneDistances).
@@ -95,32 +100,31 @@ def _fit_step(ops: SegOps, xyz, gmask):
     normal = _cov_normal(m2, gcnt)
     n_pt = ops.gather(normal)
     dist = jnp.abs(jnp.einsum("ni,ni->n", d_all, n_pt, precision="highest"))
-    return gcnt, centroid, normal, dist
+    return gcnt, dist
 
 
-def _run_level(cfg, impl, xyz, pa, tau_patch, zth_patch, lvl, num_segs, is_level0, state):
-    """Execute one split level for every active node simultaneously.
+def _level_body(cfg, impl, xyz, pa, tau_patch, zth_patch, lvl, num_segs,
+                is_level0, node, node_patch_in, done, ground):
+    """Stats -> early-outs -> seeds -> iterative fit -> split flags for one
+    level (every active node simultaneously).  Split EXECUTION (median,
+    child assignment) is deferred to :func:`_child_remap` so it only runs
+    when a split actually happened.
 
-    ``lvl`` may be a traced scalar (levels >= 1 run inside a while_loop);
-    ``num_segs``/``is_level0`` are static.  ``state`` is the level-uniform
-    carry (node, node_patch, done, ground, has_children).
+    Returns (done, ground, split (num_segs,) bool).
     """
     x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
-    num_p = cfg.num_patches
-    cap_a = cfg.max_active_nodes
     eff_levels = cfg.effective_levels
-    node, node_patch_in, done, ground, _ = state
     trash = num_segs - 1
-    lvl_f = jnp.asarray(lvl, _F32)
 
     active = pa.in_patch & ~done
     seg = jnp.where(active, node, trash)
     ops = SegOps(seg, num_segs, impl)
 
     # level-0 node->patch map is the identity; deeper levels carry a table
-    node_patch = (
-        jnp.arange(num_segs, dtype=jnp.int32) if is_level0 else node_patch_in
-    )
+    if is_level0:
+        node_patch = jnp.arange(num_segs, dtype=jnp.int32)
+    else:
+        node_patch = node_patch_in[:num_segs]
     tau_node = tau_patch[node_patch]  # (S,) tiny gathers
     zth_node = zth_patch[node_patch]
 
@@ -195,7 +199,7 @@ def _run_level(cfg, impl, xyz, pa, tau_patch, zth_patch, lvl, num_segs, is_level
 
     def _body(st):
         g_mask, _, it = st
-        gcnt, _, _, dist = _fit_step(ops, xyz, g_mask & active)
+        gcnt, dist = _fit_step(ops, xyz, g_mask & active)
         can_pt = ops.gather((gcnt >= 3.0).astype(_F32)) > 0.5
         new_g = dist < tau_pt
         apply_pt = active & fit_pt & can_pt
@@ -209,11 +213,12 @@ def _run_level(cfg, impl, xyz, pa, tau_patch, zth_patch, lvl, num_segs, is_level
 
     # ---- final fit, residual, split decision (cpp:219-235) ----
     g_final = ground & active
-    gcnt, _, _, dist = _fit_step(ops, xyz, g_final)
+    gcnt, dist = _fit_step(ops, xyz, g_final)
     resid = ops.sum(dist * g_final.astype(_F32)) / jnp.maximum(gcnt, 1.0)
     resid = jnp.where(gcnt >= 3.0, resid, _INF)
 
     # split allowed while below both the depth cap and the level budget
+    lvl_f = jnp.asarray(lvl, _F32)
     split_thresh = _F32(cfg.th_dist) * (1.0 + _F32(cfg.split_residual_slope) * lvl_f)
     min_sz = (
         cfg.split_min_points_base
@@ -222,8 +227,37 @@ def _run_level(cfg, impl, xyz, pa, tau_patch, zth_patch, lvl, num_segs, is_level
     depth_ok = jnp.asarray(lvl, jnp.int32) < min(cfg.max_split_depth, eff_levels - 1)
     split = fit_node & (resid > split_thresh) & (cnt_i >= min_sz) & depth_ok
 
-    # ---- variance-axis median split (cpp:237-283) ----
+    # fitting nodes that do NOT split are finished with their converged
+    # mask; split-node points stay live for _child_remap
+    split_pt = ops.gather_bool(split)
+    done = done | (active & fit_pt & ~split_pt)
+
+    return done, ground, split
+
+
+def _child_remap(cfg, impl, xyz, pa, node, node_patch, done, ground, split_pad):
+    """Execute the parent level's splits: variance axis, per-node median,
+    compact child slot assignment (cpp:237-304, order-preserving combine).
+
+    Runs INSIDE the deeper-level while_loop, i.e. only when some node
+    split.  ``split_pad`` is the (cap_a+1,) padded parent split mask; the
+    only still-active points are those of split nodes (everything else was
+    marked done by _level_body).
+    """
+    x, y = xyz[:, 0], xyz[:, 1]
+    num_p = cfg.num_patches
+    cap_a = max(cfg.max_active_nodes, num_p)
+    num_segs = cap_a + 1
+    trash = cap_a
+
+    active = pa.in_patch & ~done
+    seg = jnp.where(active, node, trash)
+    ops = SegOps(seg, num_segs, impl)
     w = active.astype(_F32)
+
+    cnt_i = ops.count(active)
+
+    # population-variance axis about the full-node centroid (cpp:237-250)
     sums = ops.sum(jnp.stack([x * w, y * w], axis=1))
     c_all = sums / jnp.maximum(cnt_i.astype(_F32), 1.0)[:, None]
     c_pt = ops.gather(c_all)
@@ -232,14 +266,15 @@ def _run_level(cfg, impl, xyz, pa, tau_patch, zth_patch, lvl, num_segs, is_level
     var = ops.sum(jnp.stack([dx * dx, dy * dy], axis=1))
     axis_is_x = var[:, 0] > var[:, 1]
 
+    # exact per-node median: sorted[cnt // 2] (cpp:253-269)
     val = jnp.where(ops.gather_bool(axis_is_x), x, y)
     sortv = sort_by_segment(seg, val, num_segs)
     median = sortv.order_stat(cnt_i // 2)
 
-    # ---- compact child slot assignment ----
-    # Children of split nodes renumber into [0, cap_a); nodes whose
-    # children would overflow the pool keep their converged mask (depth
-    # truncation — raise cfg.max_active_nodes for pathological scenes).
+    # compact child slots: children of split nodes renumber into
+    # [0, cap_a); overflowing nodes keep their converged mask (depth
+    # truncation — raise cfg.max_active_nodes for pathological scenes)
+    split = split_pad[:num_segs]
     split_i = split.astype(jnp.int32)
     rank = jnp.cumsum(split_i) - split_i
     base_slot = 2 * rank
@@ -252,18 +287,18 @@ def _run_level(cfg, impl, xyz, pa, tau_patch, zth_patch, lvl, num_segs, is_level
     ok_pt = t2[:, 1] > 0.5
     slot_pt = t2[:, 2].astype(jnp.int32)
 
-    done = done | (active & fit_pt & ~ok_pt)
-    go_right = (val > median_pt).astype(jnp.int32)
+    done = done | (active & ~ok_pt)
+    go_right = (val > median_pt).astype(jnp.int32)  # val <= median -> left
     node = jnp.where(active & ok_pt, slot_pt + go_right, node)
 
-    # next level's node -> patch table ((cap_a+1,), trash -> P)
+    # next level's node -> patch table ((cap_a+1,), unused slots -> P)
     idx0 = jnp.where(ok, base_slot, cap_a + 1)
     np_next = jnp.full((cap_a + 3,), num_p, jnp.int32)
-    np_next = np_next.at[idx0].set(jnp.where(ok, node_patch, num_p))
-    np_next = np_next.at[idx0 + 1].set(jnp.where(ok, node_patch, num_p))
+    np_next = np_next.at[idx0].set(jnp.where(ok, node_patch[:num_segs], num_p))
+    np_next = np_next.at[idx0 + 1].set(jnp.where(ok, node_patch[:num_segs], num_p))
     node_patch_out = np_next[: cap_a + 1]
 
-    return node, node_patch_out, done, ground, jnp.any(ok)
+    return node, node_patch_out, done
 
 
 def filter_ground(
@@ -274,17 +309,11 @@ def filter_ground(
     ``xyz``: (N, 3) float32, ``valid``: (N,) bool.  Shapes are static; jit
     this with ``cfg`` static (see :func:`make_filter_ground`).  ``impl``
     selects the segment-op backend (None = auto per platform).
-
-    Level 0 (all base patches) always runs; deeper levels run inside a
-    ``lax.while_loop`` that exits as soon as no node split — a typical
-    scan pays for level 0 plus only the levels that actually recurse,
-    instead of all ``max_levels`` (data-dependent skipping the reference
-    gets from plain recursion, recovered here without dynamic shapes).
     """
     impl = impl or cfg.segment_impl or default_impl()
     pa = assign_patches(xyz, valid, cfg, impl=impl)
     num_p = cfg.num_patches
-    cap_a = cfg.max_active_nodes
+    cap_a = max(cfg.max_active_nodes, num_p)
     eff_levels = cfg.effective_levels
     n_points = xyz.shape[0]
 
@@ -293,33 +322,41 @@ def filter_ground(
     tau_patch = _F32(cfg.th_dist) * (1.0 + _F32(cfg.tau_slope) * pa.rel_dist)
     zth_patch = _F32(cfg.sensor_height) + _F32(cfg.seed_slope) * pa.rel_dist
 
-    state = (
-        pa.patch.astype(jnp.int32),               # node (level-0 = patch id)
-        jnp.zeros((cap_a + 1,), jnp.int32),       # node -> patch (levels >= 1)
-        ~pa.in_patch,                             # done
-        jnp.zeros((n_points,), bool),             # ground
-        jnp.bool_(True),                          # has_children
-    )
+    node = pa.patch.astype(jnp.int32)  # level-0 node id == patch id
+    done = ~pa.in_patch
+    ground = jnp.zeros((n_points,), bool)
 
-    state = _run_level(
-        cfg, impl, xyz, pa, tau_patch, zth_patch, 0, num_p + 1, True, state
+    done, ground, split0 = _level_body(
+        cfg, impl, xyz, pa, tau_patch, zth_patch, 0, num_p + 1, True,
+        node, None, done, ground,
     )
 
     if eff_levels > 1:
+        split_pad = jnp.zeros((cap_a + 1,), bool).at[: num_p + 1].set(split0)
+        node_patch0 = jnp.full((cap_a + 1,), num_p, jnp.int32)
+        node_patch0 = node_patch0.at[: num_p + 1].set(
+            jnp.arange(num_p + 1, dtype=jnp.int32)
+        )
+
         def _cond(carry):
-            lvl, st = carry
-            return (lvl < eff_levels) & st[4]
+            lvl, _, _, _, _, split = carry
+            return (lvl < eff_levels) & jnp.any(split)
 
         def _body(carry):
-            lvl, st = carry
-            st = _run_level(
-                cfg, impl, xyz, pa, tau_patch, zth_patch, lvl, cap_a + 1, False, st
+            lvl, nd, np_tab, dn, gr, split = carry
+            nd, np_tab, dn = _child_remap(
+                cfg, impl, xyz, pa, nd, np_tab, dn, gr, split
             )
-            return lvl + 1, st
+            dn, gr, split_next = _level_body(
+                cfg, impl, xyz, pa, tau_patch, zth_patch, lvl, cap_a + 1,
+                False, nd, np_tab, dn, gr,
+            )
+            return lvl + 1, nd, np_tab, dn, gr, split_next
 
-        _, state = jax.lax.while_loop(_cond, _body, (jnp.int32(1), state))
+        carry = (jnp.int32(1), node, node_patch0, done, ground, split_pad)
+        _, _, _, done, ground, _ = jax.lax.while_loop(_cond, _body, carry)
 
-    ground = state[3] & pa.in_patch
+    ground = ground & pa.in_patch
     return GroundResult(
         ground=ground, valid=pa.finite, in_zone=pa.in_zone, in_patch=pa.in_patch
     )
