@@ -1,0 +1,190 @@
+"""Bundle adjustment with Schur-complement reduction, single- and
+multi-device.
+
+Problem shape: K keyframe poses (SE(3)) + L landmarks (3D points — e.g.
+pillar/feature centroids extracted from the obstacle segmentation),
+observations (k, l, p_local): landmark l seen from keyframe k at local
+coordinates p_local.  Residual r = T_k^-1 . X_l - p_local.
+
+Solver: Gauss-Newton normal equations
+
+    [ A   B ] [dp]   [ba]
+    [ B^T C ] [dx] = [bx]
+
+with C block-diagonal over landmarks (3x3) — eliminated by the Schur
+complement S = A - B C^-1 B^T; solve S dp = ba - B C^-1 bx, then
+back-substitute dx.  All blocks assemble as vmapped einsums +
+segment-sums over the observation array; pose Jacobians come from
+``jax.jacfwd`` (exact).
+
+Distributed form (BASELINE.json configs[4], MegBA-style): observations
+shard over the mesh's data axis via ``shard_map``; each device reduces
+partial (A, B, C, ba, bx) over its shard, a ``psum`` over the ICI mesh
+axis combines them, and the (small) reduced solve is replicated.  The
+collective payload is O(K^2 + K L) block data — independent of the
+observation count.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .se3 import se3_apply, se3_exp, se3_inverse
+
+__all__ = ["BAProblem", "ba_residuals", "bundle_adjust", "bundle_adjust_sharded"]
+
+_F32 = jnp.float32
+
+
+class BAProblem(NamedTuple):
+    poses: jax.Array    # (K, 4, 4) world_T_keyframe
+    points: jax.Array   # (L, 3) landmark positions (world)
+    obs_k: jax.Array    # (O,) int32 keyframe index
+    obs_l: jax.Array    # (O,) int32 landmark index
+    obs_p: jax.Array    # (O, 3) observed local coordinates
+    obs_w: jax.Array    # (O,) observation weights (0 disables)
+
+
+def ba_residuals(poses, points, prob: BAProblem) -> jax.Array:
+    """(O, 3) weighted residuals T_k^-1 X_l - p."""
+    Tk = poses[prob.obs_k]
+    Xl = points[prob.obs_l]
+    local = se3_apply(se3_inverse(Tk), Xl[:, None, :])[:, 0, :]
+    return (local - prob.obs_p) * prob.obs_w[:, None]
+
+
+def _obs_blocks(poses, points, prob: BAProblem):
+    """Per-observation residual + Jacobian blocks (Jp (O,3,6), Jx (O,3,3))."""
+
+    def one(Tk, Xl, p, w):
+        def res(xi, dx):
+            T = Tk @ se3_exp(xi)
+            return (se3_apply(se3_inverse(T), (Xl + dx)[None, :])[0] - p) * w
+
+        z6 = jnp.zeros((6,), _F32)
+        z3 = jnp.zeros((3,), _F32)
+        r = res(z6, z3)
+        Jp = jax.jacfwd(res, argnums=0)(z6, z3)  # (3, 6)
+        Jx = jax.jacfwd(res, argnums=1)(z6, z3)  # (3, 3)
+        return r, Jp, Jx
+
+    return jax.vmap(one)(
+        poses[prob.obs_k], points[prob.obs_l], prob.obs_p, prob.obs_w
+    )
+
+
+def _partial_normal_eqs(poses, points, prob: BAProblem, k: int, l: int):
+    """Assemble (A, B, C, ba, bx) from (a shard of) the observations."""
+    r, Jp, Jx = _obs_blocks(poses, points, prob)
+
+    A = jnp.zeros((k, 6, 6), _F32).at[prob.obs_k].add(
+        jnp.einsum("oai,oaj->oij", Jp, Jp, precision="highest")
+    )
+    C = jnp.zeros((l, 3, 3), _F32).at[prob.obs_l].add(
+        jnp.einsum("oai,oaj->oij", Jx, Jx, precision="highest")
+    )
+    B = jnp.zeros((k, 6, l, 3), _F32).at[prob.obs_k, :, prob.obs_l, :].add(
+        jnp.einsum("oai,oaj->oij", Jp, Jx, precision="highest")
+    )
+    ba = jnp.zeros((k, 6), _F32).at[prob.obs_k].add(
+        jnp.einsum("oai,oa->oi", Jp, r, precision="highest")
+    )
+    bx = jnp.zeros((l, 3), _F32).at[prob.obs_l].add(
+        jnp.einsum("oai,oa->oi", Jx, r, precision="highest")
+    )
+    return A, B, C, ba, bx
+
+
+def _schur_solve(A, B, C, ba, bx, k, l, damping, anchor_weight):
+    """Eliminate landmarks, solve reduced pose system, back-substitute."""
+    C = C + damping * jnp.eye(3, dtype=_F32)[None]
+    C_inv = jnp.linalg.inv(C)  # (L, 3, 3)
+
+    # S = A_dense - B C^-1 B^T over the pose-pair structure
+    BCi = jnp.einsum("kilc,lcd->kild", B, C_inv, precision="highest")
+    S = -jnp.einsum("kild,mjld->kimj", BCi, B, precision="highest")
+    S = S.at[jnp.arange(k), :, jnp.arange(k), :].add(A)
+    rhs = ba - jnp.einsum("kild,ld->ki", BCi, bx, precision="highest")
+
+    S = S.reshape(6 * k, 6 * k)
+    anchor = jnp.zeros((6 * k,), _F32).at[:6].set(_F32(anchor_weight))
+    S = S + jnp.diag(anchor) + damping * jnp.eye(6 * k, dtype=_F32)
+    dp = -jnp.linalg.solve(S, rhs.reshape(6 * k)).reshape(k, 6)
+
+    # back-substitute landmarks: dx = -C^-1 (bx + B^T dp)
+    bTdp = jnp.einsum("kild,ki->ld", B, dp, precision="highest")
+    dx = -jnp.einsum("lcd,ld->lc", C_inv, bx + bTdp, precision="highest")
+    return dp, dx
+
+
+def bundle_adjust(
+    prob: BAProblem,
+    iters: int = 8,
+    damping: float = 1e-4,
+    anchor_weight: float = 1e6,
+) -> BAProblem:
+    """Single-device Schur-complement Gauss-Newton BA."""
+    k = prob.poses.shape[0]
+    l = prob.points.shape[0]
+
+    def step(state, _):
+        poses, points = state
+        A, B, C, ba, bx = _partial_normal_eqs(poses, points, prob, k, l)
+        dp, dx = _schur_solve(A, B, C, ba, bx, k, l, damping, anchor_weight)
+        return (poses @ se3_exp(dp), points + dx), None
+
+    (poses, points), _ = jax.lax.scan(
+        step, (prob.poses, prob.points), None, length=iters
+    )
+    return prob._replace(poses=poses, points=points)
+
+
+def bundle_adjust_sharded(
+    prob: BAProblem,
+    mesh,
+    axis: str = "dp",
+    iters: int = 8,
+    damping: float = 1e-4,
+    anchor_weight: float = 1e6,
+) -> BAProblem:
+    """Distributed BA: observations shard over ``axis``; each device
+    reduces partial normal equations, psum combines them over the ICI
+    mesh axis, the reduced solve is replicated.  Observation count must be
+    divisible by the axis size (pad with obs_w = 0).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    k = prob.poses.shape[0]
+    l = prob.points.shape[0]
+
+    def step_sharded(poses, points, obs_k, obs_l, obs_p, obs_w):
+        shard = BAProblem(poses, points, obs_k, obs_l, obs_p, obs_w)
+        parts = _partial_normal_eqs(poses, points, shard, k, l)
+        A, B, C, ba, bx = jax.lax.psum(parts, axis)
+        dp, dx = _schur_solve(A, B, C, ba, bx, k, l, damping, anchor_weight)
+        return poses @ se3_exp(dp), points + dx
+
+    smapped = jax.shard_map(
+        step_sharded,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(poses, points, ok, ol, op, ow):
+        def body(state, _):
+            p, x = state
+            return smapped(p, x, ok, ol, op, ow), None
+
+        (p, x), _ = jax.lax.scan(body, (poses, points), None, length=iters)
+        return p, x
+
+    poses, points = run(
+        prob.poses, prob.points, prob.obs_k, prob.obs_l, prob.obs_p, prob.obs_w
+    )
+    return prob._replace(poses=poses, points=points)

@@ -1,0 +1,158 @@
+"""Ground-constrained LiDAR odometry pipeline.
+
+Per frame: Patchwork segmentation (ground/obstacle masks) -> fixed-size
+downsample of each class -> ground-constrained ICP against the previous
+keyframe -> odometry edge into the keyframe pose graph.  Everything
+device-side except the tiny keyframe bookkeeping.
+
+BASELINE.json configs[4]: "Ground-constrained LiDAR odometry + pose graph
+with distributed Schur-complement BA" — this module is the front end; the
+graph solvers live in pose_graph.py / ba.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.config import PatchworkConfig
+from ..ops.sampling import random_subsample_mask
+from ..segment.engine import filter_ground
+from .pose_graph import PoseGraph, ate_rmse, optimize_pose_graph
+from .scan_matching import icp_ground_constrained
+from .se3 import se3_inverse
+
+__all__ = ["OdometryConfig", "LidarOdometry"]
+
+
+@dataclasses.dataclass(frozen=True)
+class OdometryConfig:
+    capacity: int = 65536          # padded points per scan
+    obstacle_samples: int = 2048   # ICP obstacle correspondences
+    ground_samples: int = 1024     # ground-plane constraint points
+    icp_iters: int = 12
+    max_corr_dist: float = 2.0
+    keyframe_every: int = 1        # keyframe cadence (frames)
+    edge_info_trans: float = 100.0  # odometry edge information (1/sigma^2)
+    edge_info_rot: float = 400.0
+
+
+class LidarOdometry:
+    """Streaming odometry: feed scans, accumulate a keyframe pose graph."""
+
+    def __init__(
+        self,
+        patchwork: Optional[PatchworkConfig] = None,
+        cfg: Optional[OdometryConfig] = None,
+    ):
+        self.pw = patchwork or PatchworkConfig()
+        self.cfg = cfg or OdometryConfig()
+        self._frames: List[dict] = []        # device features per keyframe
+        self.poses: List[np.ndarray] = []    # world_T_keyframe
+        self.edges: List[tuple] = []         # (i, j, T_ij (4,4) np)
+        pw, c = self.pw, self.cfg
+
+        @jax.jit
+        def extract(xyz, valid, key):
+            """Segment + class-wise fixed-size downsample of one scan."""
+            res = filter_ground(xyz, valid, pw)
+            obst = res.valid & ~res.ground
+            k1, k2 = jax.random.split(key)
+            obst_sel = random_subsample_mask(k1, obst, c.obstacle_samples)
+            gnd_sel = random_subsample_mask(k2, res.ground, c.ground_samples)
+
+            def take(sel, cap):
+                idx = jnp.nonzero(sel, size=cap, fill_value=0)[0]
+                n = jnp.sum(sel)
+                v = jnp.arange(cap) < n
+                return xyz[idx], v
+
+            o_pts, o_val = take(obst_sel, c.obstacle_samples)
+            g_pts, g_val = take(gnd_sel, c.ground_samples)
+            return o_pts, o_val, g_pts, g_val
+
+        @jax.jit
+        def match(src, tgt, init):
+            return icp_ground_constrained(
+                src["obst"], src["obst_valid"], src["ground"], src["ground_valid"],
+                tgt["obst"], tgt["obst_valid"], tgt["ground"], tgt["ground_valid"],
+                init=init, iters=c.icp_iters, max_corr_dist=c.max_corr_dist,
+            )
+
+        self._extract = extract
+        self._match = match
+
+    def _pad(self, pts: np.ndarray):
+        cap = self.cfg.capacity
+        n = min(len(pts), cap)
+        xyz = np.zeros((cap, 3), np.float32)
+        xyz[:n] = np.asarray(pts, np.float32)[:n, :3]
+        valid = np.zeros(cap, bool)
+        valid[:n] = True
+        return jnp.asarray(xyz), jnp.asarray(valid)
+
+    def add_scan(self, pts: np.ndarray, seed: int = 0) -> np.ndarray:
+        """Process one scan; returns the current world pose estimate."""
+        xyz, valid = self._pad(pts)
+        o, ov, g, gv = self._extract(xyz, valid, jax.random.key(seed))
+        frame = {"obst": o, "obst_valid": ov, "ground": g, "ground_valid": gv}
+
+        if not self._frames:
+            self._frames.append(frame)
+            self.poses.append(np.eye(4, dtype=np.float32))
+            return self.poses[-1]
+
+        prev = self._frames[-1]
+        # T maps current scan's frame into the previous keyframe's frame
+        res = self._match(frame, prev, jnp.eye(4, dtype=jnp.float32))
+        T_prev_cur = np.asarray(res.transform)
+        pose = self.poses[-1] @ T_prev_cur
+
+        self._frames.append(frame)
+        self.poses.append(pose.astype(np.float32))
+        self.edges.append((len(self.poses) - 2, len(self.poses) - 1, T_prev_cur))
+        return pose
+
+    def add_loop_closure(self, i: int, j: int, seed: int = 0) -> np.ndarray:
+        """Match keyframe j against keyframe i and add a closure edge."""
+        init = jnp.asarray(
+            np.linalg.inv(self.poses[i]) @ self.poses[j], jnp.float32
+        )
+        res = self._match(self._frames[j], self._frames[i], init)
+        T_ij = np.asarray(res.transform)
+        self.edges.append((i, j, T_ij))
+        return T_ij
+
+    def build_graph(self) -> PoseGraph:
+        c = self.cfg
+        k = len(self.poses)
+        e = max(len(self.edges), 1)
+        info = np.zeros((e, 6, 6), np.float32)
+        info[:, :3, :3] = np.eye(3) * c.edge_info_trans
+        info[:, 3:, 3:] = np.eye(3) * c.edge_info_rot
+        ei = np.array([x[0] for x in self.edges] or [0], np.int32)
+        ej = np.array([x[1] for x in self.edges] or [0], np.int32)
+        eT = np.stack([x[2] for x in self.edges] or [np.eye(4, dtype=np.float32)])
+        return PoseGraph(
+            poses=jnp.asarray(np.stack(self.poses)),
+            edge_i=jnp.asarray(ei),
+            edge_j=jnp.asarray(ej),
+            edge_T=jnp.asarray(eT.astype(np.float32)),
+            edge_info=jnp.asarray(info),
+        )
+
+    def optimize(self, iters: int = 10) -> np.ndarray:
+        """Optimize the pose graph; updates and returns all poses."""
+        g = optimize_pose_graph(self.build_graph(), iters=iters)
+        poses = np.asarray(g.poses)
+        self.poses = [p for p in poses]
+        return poses
+
+    def trajectory_error(self, gt_poses: np.ndarray) -> float:
+        return float(
+            ate_rmse(jnp.asarray(np.stack(self.poses)), jnp.asarray(gt_poses))
+        )

@@ -1,0 +1,116 @@
+"""Ground-constrained scan matching (frame-to-frame LiDAR odometry).
+
+TPU-first design:
+
+* correspondences by brute-force nearest neighbor over voxel-downsampled
+  obstacle points — the (N, M) squared-distance matrix is ONE matmul on
+  the MXU (|p-q|^2 = |p|^2 + |q|^2 - 2 p.q), the TPU-idiomatic
+  alternative to k-d trees (pointer chasing does not vectorize);
+* residuals: point-to-point on obstacle correspondences (constrain x, y,
+  yaw) + point-to-plane against the target's GROUND plane from the
+  Patchwork segmentation (constrain z, roll, pitch) — the segmentation
+  engine is what makes the odometry "ground-constrained";
+* Gauss-Newton on SE(3) with right perturbation; the 6-dof Jacobian
+  comes from ``jax.jacfwd`` through the residual function (exact, no
+  hand-derived adjoints); fixed iteration count under ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.geometry import fit_plane_masked
+from .se3 import se3_apply, se3_exp
+
+__all__ = ["MatchResult", "nearest_neighbors", "icp_ground_constrained"]
+
+_F32 = jnp.float32
+
+
+class MatchResult(NamedTuple):
+    transform: jax.Array      # (4, 4) mapping source frame -> target frame
+    num_inliers: jax.Array    # () int32
+    rmse: jax.Array           # () float32 inlier point-to-point RMSE
+
+
+def nearest_neighbors(src: jax.Array, tgt: jax.Array, tgt_valid: jax.Array):
+    """Index + squared distance of each src point's nearest valid tgt point.
+
+    One MXU matmul: d2 = |p|^2 + |q|^2 - 2 p.q; invalid targets -> +inf.
+    """
+    d2 = (
+        jnp.sum(src * src, axis=1)[:, None]
+        + jnp.sum(tgt * tgt, axis=1)[None, :]
+        - 2.0 * jnp.einsum("nc,mc->nm", src, tgt, precision="highest")
+    )
+    d2 = jnp.where(tgt_valid[None, :], d2, jnp.inf)
+    idx = jnp.argmin(d2, axis=1)
+    return idx, jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0]
+
+
+def icp_ground_constrained(
+    src_obst: jax.Array,       # (N, 3) source obstacle points (padded)
+    src_obst_valid: jax.Array, # (N,)
+    src_ground: jax.Array,     # (G, 3) source ground points (padded)
+    src_ground_valid: jax.Array,
+    tgt_obst: jax.Array,       # (M, 3) target obstacle points (padded)
+    tgt_obst_valid: jax.Array,
+    tgt_ground: jax.Array,     # (G2, 3) target ground points (padded)
+    tgt_ground_valid: jax.Array,
+    init: jax.Array | None = None,   # (4, 4) initial guess
+    iters: int = 12,
+    max_corr_dist: float = 2.0,
+    ground_weight: float = 1.0,
+) -> MatchResult:
+    """Estimate T such that T . src ~= tgt."""
+    if init is None:
+        init = jnp.eye(4, dtype=_F32)
+
+    # target ground plane (centroid + normal) from the segmentation masks
+    g_c, g_n, _, g_cnt = fit_plane_masked(tgt_ground, tgt_ground_valid)
+    use_ground = g_cnt >= 3
+
+    max_d2 = _F32(max_corr_dist * max_corr_dist)
+
+    def gn_step(T, _):
+        p = se3_apply(T, src_obst)
+        nn_idx, nn_d2 = nearest_neighbors(p, tgt_obst, tgt_obst_valid)
+        q = tgt_obst[nn_idx]
+        w_obst = (src_obst_valid & (nn_d2 < max_d2)).astype(_F32)
+
+        pg = se3_apply(T, src_ground)
+        w_ground = src_ground_valid.astype(_F32) * use_ground.astype(_F32) * _F32(
+            ground_weight
+        )
+
+        def residuals(xi):
+            Txi = T @ se3_exp(xi)
+            r_pp = (se3_apply(Txi, src_obst) - q) * w_obst[:, None]  # (N, 3)
+            r_pl = (
+                jnp.einsum("ni,i->n", se3_apply(Txi, src_ground) - g_c, g_n,
+                           precision="highest")
+                * w_ground
+            )  # (G,)
+            return jnp.concatenate([r_pp.ravel(), r_pl])
+
+        xi0 = jnp.zeros((6,), _F32)
+        r0 = residuals(xi0)
+        J = jax.jacfwd(residuals)(xi0)  # (R, 6)
+        H = jnp.einsum("ri,rj->ij", J, J, precision="highest")
+        b = jnp.einsum("ri,r->i", J, r0, precision="highest")
+        # Levenberg damping for robustness on poor geometry
+        H = H + 1e-4 * jnp.eye(6, dtype=_F32) * jnp.maximum(jnp.trace(H) / 6.0, 1.0)
+        delta = -jnp.linalg.solve(H, b)
+        T_new = T @ se3_exp(delta)
+
+        n_in = jnp.sum(w_obst).astype(jnp.int32)
+        rmse = jnp.sqrt(
+            jnp.sum(nn_d2 * w_obst) / jnp.maximum(jnp.sum(w_obst), 1.0)
+        )
+        return T_new, (n_in, rmse)
+
+    T, (n_in, rmse) = jax.lax.scan(gn_step, init, None, length=iters)
+    return MatchResult(transform=T, num_inliers=n_in[-1], rmse=rmse[-1])

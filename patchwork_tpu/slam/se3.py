@@ -1,0 +1,138 @@
+"""SE(3) Lie-group utilities, batched and autodiff-friendly.
+
+The SLAM back-end (scan matching, pose graph, bundle adjustment) optimizes
+on SE(3) with right-multiplicative perturbations T <- T @ exp(xi).  All
+functions broadcast over leading batch dims and are differentiable
+INCLUDING at the identity (the Jacobians in scan_matching/pose_graph are
+``jax.jacfwd`` at xi = 0): every angle-dependent coefficient uses the
+double-where pattern so no NaN flows through ``sqrt``/``arccos`` at 0.
+
+No reference equivalent — the reference has no odometry/SLAM; this is the
+pose-graph extension mandated by BASELINE.json configs[4].
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "so3_exp",
+    "so3_log",
+    "se3_exp",
+    "se3_log",
+    "se3_inverse",
+    "se3_compose",
+    "se3_apply",
+    "se3_identity",
+]
+
+_EPS2 = 1e-12  # squared-angle cutoff for Taylor branches
+
+
+def _hat(w: jax.Array) -> jax.Array:
+    """(..., 3) -> (..., 3, 3) skew-symmetric."""
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    zeros = jnp.zeros_like(wx)
+    return jnp.stack(
+        [
+            jnp.stack([zeros, -wz, wy], axis=-1),
+            jnp.stack([wz, zeros, -wx], axis=-1),
+            jnp.stack([-wy, wx, zeros], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def _abc(w: jax.Array):
+    """Taylor-safe sin/cos coefficients a = sin(t)/t, b = (1-cos t)/t^2,
+    c = (t - sin t)/t^3 with derivative-safe branches at t = 0."""
+    t2 = jnp.sum(w * w, axis=-1)[..., None, None]
+    safe = t2 > _EPS2
+    t2s = jnp.where(safe, t2, 1.0)  # dummy operand keeps grads finite
+    t = jnp.sqrt(t2s)
+    a = jnp.where(safe, jnp.sin(t) / t, 1.0 - t2 / 6.0)
+    b = jnp.where(safe, (1.0 - jnp.cos(t)) / t2s, 0.5 - t2 / 24.0)
+    c = jnp.where(safe, (t - jnp.sin(t)) / (t2s * t), 1.0 / 6.0 - t2 / 120.0)
+    return a, b, c
+
+
+def so3_exp(w: jax.Array) -> jax.Array:
+    """Rodrigues: (..., 3) axis-angle -> (..., 3, 3) rotation."""
+    a, b, _ = _abc(w)
+    k = _hat(w)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), k.shape)
+    return eye + a * k + b * (k @ k)
+
+
+def so3_log(R: jax.Array) -> jax.Array:
+    """(..., 3, 3) rotation -> (..., 3) axis-angle (theta < pi)."""
+    cos_t = jnp.clip(
+        (R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2] - 1.0) / 2.0, -1.0, 1.0
+    )[..., None]
+    w = jnp.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    safe = cos_t < 1.0 - 1e-6
+    cos_s = jnp.where(safe, cos_t, 0.0)  # dummy operand for grad safety
+    theta = jnp.arccos(cos_s)
+    scale_exact = theta / (2.0 * jnp.sin(theta))
+    # near identity: theta^2 ~ 2(1 - cos), scale ~ 1/2 + (1 - cos)/6
+    scale_taylor = 0.5 + (1.0 - cos_t) / 6.0
+    return w * jnp.where(safe, scale_exact, scale_taylor)
+
+
+def _left_jacobian(w: jax.Array) -> jax.Array:
+    """SO(3) left Jacobian V (couples translation in the se3 exp)."""
+    _, b, c = _abc(w)
+    k = _hat(w)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), k.shape)
+    return eye + b * k + c * (k @ k)
+
+
+def se3_exp(xi: jax.Array) -> jax.Array:
+    """(..., 6) twist [rho, phi] -> (..., 4, 4) homogeneous transform."""
+    rho, phi = xi[..., :3], xi[..., 3:]
+    rot = so3_exp(phi)
+    t = (_left_jacobian(phi) @ rho[..., None])[..., 0]
+    top = jnp.concatenate([rot, t[..., None]], axis=-1)
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], xi.dtype), top[..., :1, :].shape
+    )
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def se3_log(T: jax.Array) -> jax.Array:
+    """(..., 4, 4) -> (..., 6) twist [rho, phi]."""
+    phi = so3_log(T[..., :3, :3])
+    v_inv = jnp.linalg.inv(_left_jacobian(phi))
+    rho = (v_inv @ T[..., :3, 3:])[..., 0]
+    return jnp.concatenate([rho, phi], axis=-1)
+
+
+def se3_inverse(T: jax.Array) -> jax.Array:
+    rt = jnp.swapaxes(T[..., :3, :3], -1, -2)
+    t = -(rt @ T[..., :3, 3:])
+    top = jnp.concatenate([rt, t], axis=-1)
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], T.dtype), top[..., :1, :].shape
+    )
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def se3_compose(A: jax.Array, B: jax.Array) -> jax.Array:
+    return A @ B
+
+
+def se3_apply(T: jax.Array, pts: jax.Array) -> jax.Array:
+    """(..., 4, 4) x (..., N, 3) -> (..., N, 3)."""
+    return pts @ jnp.swapaxes(T[..., :3, :3], -1, -2) + T[..., None, :3, 3]
+
+
+def se3_identity(dtype=jnp.float32) -> jax.Array:
+    return jnp.eye(4, dtype=dtype)

@@ -1,0 +1,106 @@
+"""Schur-complement bundle adjustment: single-device recovery + sharded
+parity on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from patchwork_tpu.parallel.mesh import make_mesh
+from patchwork_tpu.slam import (
+    BAProblem,
+    ba_residuals,
+    bundle_adjust,
+    bundle_adjust_sharded,
+    se3_apply,
+    se3_exp,
+    se3_inverse,
+)
+
+RNG = np.random.default_rng(11)
+
+
+def make_problem(k=6, l=24, noise=0.01, pose_pert=0.05, point_pert=0.1):
+    # ground-truth poses along a line, landmarks scattered around
+    gt_poses = []
+    for i in range(k):
+        xi = np.zeros(6, np.float32)
+        xi[0] = i * 1.0
+        xi[5] = 0.05 * i
+        gt_poses.append(np.asarray(se3_exp(jnp.asarray(xi))))
+    gt_poses = np.stack(gt_poses)
+    gt_points = RNG.uniform(-10, 10, (l, 3)).astype(np.float32)
+    gt_points[:, 2] = RNG.uniform(0.5, 3.0, l)
+
+    # every keyframe observes every landmark (dense, padded to multiple of 8)
+    ok, ol, op = [], [], []
+    for ki in range(k):
+        inv = np.asarray(se3_inverse(jnp.asarray(gt_poses[ki])))
+        for li in range(l):
+            local = inv[:3, :3] @ gt_points[li] + inv[:3, 3]
+            op.append(local + RNG.normal(0, noise, 3))
+            ok.append(ki)
+            ol.append(li)
+    n_obs = len(ok)
+    pad = (-n_obs) % 8
+    ok += [0] * pad
+    ol += [0] * pad
+    op += [np.zeros(3)] * pad
+    w = np.concatenate([np.ones(n_obs), np.zeros(pad)]).astype(np.float32)
+
+    # perturb initial estimates (keyframe 0 is the gauge anchor)
+    init_poses = gt_poses.copy()
+    for i in range(1, k):
+        xi = RNG.normal(0, pose_pert, 6).astype(np.float32)
+        init_poses[i] = init_poses[i] @ np.asarray(se3_exp(jnp.asarray(xi)))
+    init_points = gt_points + RNG.normal(0, point_pert, (l, 3)).astype(np.float32)
+
+    prob = BAProblem(
+        poses=jnp.asarray(init_poses),
+        points=jnp.asarray(init_points),
+        obs_k=jnp.asarray(np.array(ok, np.int32)),
+        obs_l=jnp.asarray(np.array(ol, np.int32)),
+        obs_p=jnp.asarray(np.array(op, np.float32)),
+        obs_w=jnp.asarray(w),
+    )
+    return prob, gt_poses, gt_points
+
+
+def pose_err(poses, gt):
+    d = np.asarray(poses)[:, :3, 3] - gt[:, :3, 3]
+    return float(np.sqrt((d * d).sum(axis=1).mean()))
+
+
+class TestBA:
+    def test_recovers_geometry(self):
+        prob, gt_poses, gt_points = make_problem()
+        err0 = pose_err(prob.poses, gt_poses)
+        out = bundle_adjust(prob, iters=8)
+        err1 = pose_err(out.poses, gt_poses)
+        assert err1 < max(err0 * 0.2, 0.02), (err0, err1)
+        pt_err = float(np.abs(np.asarray(out.points) - gt_points).mean())
+        assert pt_err < 0.05
+
+    def test_residual_decreases(self):
+        prob, *_ = make_problem()
+        r0 = float(jnp.sum(ba_residuals(prob.poses, prob.points, prob) ** 2))
+        out = bundle_adjust(prob, iters=8)
+        r1 = float(jnp.sum(ba_residuals(out.poses, out.points, prob) ** 2))
+        assert r1 < r0 * 0.1
+
+    def test_zero_noise_exact(self):
+        prob, gt_poses, gt_points = make_problem(noise=0.0)
+        out = bundle_adjust(prob, iters=10)
+        assert pose_err(out.poses, gt_poses) < 1e-3
+        assert float(np.abs(np.asarray(out.points) - gt_points).max()) < 1e-2
+
+    @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+    def test_sharded_matches_single(self):
+        prob, gt_poses, _ = make_problem()
+        mesh = make_mesh(8, dp=8, sp=1)
+        out_s = bundle_adjust_sharded(prob, mesh, axis="dp", iters=6)
+        out_1 = bundle_adjust(prob, iters=6)
+        np.testing.assert_allclose(
+            np.asarray(out_s.poses), np.asarray(out_1.poses), atol=5e-3
+        )
+        assert pose_err(out_s.poses, gt_poses) < 0.05

@@ -1,0 +1,222 @@
+"""SLAM back-end tests: SE(3) algebra, ground-constrained ICP, pose-graph
+optimization, and end-to-end odometry on a simulated drive."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from patchwork_tpu.core.config import PatchworkConfig
+from patchwork_tpu.io.synthetic import simulate_sequence, simulate_world
+from patchwork_tpu.slam import (
+    LidarOdometry,
+    OdometryConfig,
+    PoseGraph,
+    ate_rmse,
+    edge_residuals,
+    icp_ground_constrained,
+    nearest_neighbors,
+    optimize_pose_graph,
+    se3_apply,
+    se3_exp,
+    se3_inverse,
+    se3_log,
+    so3_exp,
+    so3_log,
+)
+
+RNG = np.random.default_rng(0)
+
+
+def rand_twists(n, rot=0.5, trans=2.0):
+    xi = RNG.normal(size=(n, 6)).astype(np.float32)
+    xi[:, :3] *= trans
+    xi[:, 3:] *= rot
+    return jnp.asarray(xi)
+
+
+class TestSE3:
+    def test_so3_roundtrip(self):
+        w = rand_twists(50)[:, 3:]
+        R = so3_exp(w)
+        # orthonormal, det +1
+        eye = jnp.einsum("nij,nkj->nik", R, R)
+        np.testing.assert_allclose(np.asarray(eye), np.eye(3)[None].repeat(50, 0),
+                                   atol=1e-5)
+        back = so3_log(R)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(w), atol=1e-4)
+
+    def test_se3_roundtrip(self):
+        xi = rand_twists(50)
+        T = se3_exp(xi)
+        back = se3_log(T)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(xi), atol=2e-4)
+
+    def test_inverse_and_apply(self):
+        T = se3_exp(rand_twists(1)[0])
+        pts = jnp.asarray(RNG.normal(size=(100, 3)).astype(np.float32))
+        there = se3_apply(T, pts)
+        back = se3_apply(se3_inverse(T), there)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(pts), atol=1e-4)
+
+    def test_identity_log_is_zero(self):
+        np.testing.assert_allclose(
+            np.asarray(se3_log(jnp.eye(4))), np.zeros(6), atol=1e-7
+        )
+
+
+class TestNearestNeighbors:
+    def test_exact_match(self):
+        tgt = jnp.asarray(RNG.normal(size=(128, 3)).astype(np.float32))
+        idx, d2 = nearest_neighbors(tgt[:32], tgt, jnp.ones(128, bool))
+        np.testing.assert_array_equal(np.asarray(idx), np.arange(32))
+        np.testing.assert_allclose(np.asarray(d2), 0.0, atol=1e-4)
+
+    def test_invalid_excluded(self):
+        tgt = jnp.asarray(np.array([[0, 0, 0], [10, 0, 0]], np.float32))
+        src = jnp.asarray(np.array([[0.1, 0, 0]], np.float32))
+        valid = jnp.asarray([False, True])
+        idx, _ = nearest_neighbors(src, tgt, valid)
+        assert int(idx[0]) == 1
+
+
+def make_icp_problem(xi_true, n_obst=800, n_ground=600, noise=0.01, seed=3):
+    rng = np.random.default_rng(seed)
+    obst = np.empty((n_obst, 3), np.float32)
+    obst[:, :2] = rng.uniform(-20, 20, (n_obst, 2))
+    obst[:, 2] = rng.uniform(0.5, 3.0, n_obst)
+    ground = np.empty((n_ground, 3), np.float32)
+    ground[:, :2] = rng.uniform(-20, 20, (n_ground, 2))
+    ground[:, 2] = rng.normal(0, 0.02, n_ground)
+
+    T = se3_exp(jnp.asarray(xi_true, jnp.float32))
+    inv = se3_inverse(T)
+    src_obst = np.array(se3_apply(inv, jnp.asarray(obst)))
+    src_ground = np.array(se3_apply(inv, jnp.asarray(ground)))
+    src_obst += rng.normal(0, noise, src_obst.shape).astype(np.float32)
+    src_ground += rng.normal(0, noise, src_ground.shape).astype(np.float32)
+    ones = lambda n: jnp.ones(n, bool)
+    return (
+        jnp.asarray(src_obst), ones(n_obst),
+        jnp.asarray(src_ground), ones(n_ground),
+        jnp.asarray(obst), ones(n_obst),
+        jnp.asarray(ground), ones(n_ground),
+        np.asarray(T),
+    )
+
+
+class TestICP:
+    @pytest.mark.parametrize("xi", [
+        [0.3, -0.2, 0.05, 0.0, 0.0, 0.05],
+        [0.5, 0.4, -0.1, 0.02, -0.02, 0.1],
+    ])
+    def test_recovers_transform(self, xi):
+        *args, T_true = make_icp_problem(xi)
+        res = icp_ground_constrained(*args, iters=15)
+        err = np.asarray(se3_log(
+            se3_inverse(jnp.asarray(T_true)) @ res.transform
+        ))
+        assert np.abs(err[:3]).max() < 0.03, err
+        assert np.abs(err[3:]).max() < 0.01, err
+        assert int(res.num_inliers) > 700
+
+    def test_identity_stays(self):
+        *args, T_true = make_icp_problem([0, 0, 0, 0, 0, 0], noise=0.005)
+        res = icp_ground_constrained(*args, iters=8)
+        err = np.asarray(se3_log(res.transform))
+        assert np.abs(err).max() < 0.02
+
+
+def chain_graph(k=12, drift=0.03, seed=5, closure=True):
+    """Ground-truth circle-ish chain + noisy odometry edges + a loop edge."""
+    rng = np.random.default_rng(seed)
+    gt = [np.eye(4, dtype=np.float32)]
+    step = np.asarray(se3_exp(jnp.asarray([1.0, 0, 0, 0, 0, 2 * np.pi / k],
+                                          jnp.float32)))
+    for _ in range(k - 1):
+        gt.append((gt[-1] @ step).astype(np.float32))
+    gt = np.stack(gt)
+
+    ei, ej, eT = [], [], []
+    for i in range(k - 1):
+        noise = se3_exp(jnp.asarray(
+            rng.normal(0, drift, 6).astype(np.float32)))
+        meas = np.linalg.inv(gt[i]) @ gt[i + 1] @ np.asarray(noise)
+        ei.append(i); ej.append(i + 1); eT.append(meas.astype(np.float32))
+    if closure:
+        for a, b in [(0, k - 1), (0, k // 2)]:
+            meas = np.linalg.inv(gt[a]) @ gt[b]
+            ei.append(a); ej.append(b); eT.append(meas.astype(np.float32))
+
+    # initial poses: integrate the noisy odometry
+    init = [np.eye(4, dtype=np.float32)]
+    for i in range(k - 1):
+        init.append((init[-1] @ eT[i]).astype(np.float32))
+    info = np.tile(np.eye(6, dtype=np.float32) * 100.0, (len(ei), 1, 1))
+    if closure:
+        info[-2:] *= 100.0
+    g = PoseGraph(
+        poses=jnp.asarray(np.stack(init)),
+        edge_i=jnp.asarray(np.array(ei, np.int32)),
+        edge_j=jnp.asarray(np.array(ej, np.int32)),
+        edge_T=jnp.asarray(np.stack(eT)),
+        edge_info=jnp.asarray(info),
+    )
+    return g, gt
+
+
+class TestPoseGraph:
+    def test_residuals_zero_on_truth(self):
+        g, gt = chain_graph(drift=0.0, closure=True)
+        r = edge_residuals(jnp.asarray(gt), g)
+        np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-4)
+
+    def test_optimization_reduces_ate(self):
+        g, gt = chain_graph(k=12, drift=0.05)
+        ate_before = float(ate_rmse(g.poses, jnp.asarray(gt)))
+        g2 = optimize_pose_graph(g, iters=10)
+        ate_after = float(ate_rmse(g2.poses, jnp.asarray(gt)))
+        assert ate_after < ate_before * 0.5, (ate_before, ate_after)
+        # total weighted residual must also drop
+        def chi2(poses):
+            r = edge_residuals(poses, g)
+            return float(jnp.einsum("ei,eij,ej->", r, g.edge_info, r))
+        assert chi2(g2.poses) < chi2(g.poses) * 0.1
+
+    def test_perfect_edges_give_exact_graph(self):
+        g, gt = chain_graph(drift=0.0, closure=True)
+        g2 = optimize_pose_graph(g, iters=5)
+        assert float(ate_rmse(g2.poses, jnp.asarray(gt))) < 1e-3
+
+
+class TestOdometry:
+    def test_simulated_drive(self):
+        world = simulate_world(seed=2, num_pillars=50)
+        scans, gt = simulate_sequence(num_frames=6, seed=2, world=world,
+                                      step_xy=0.8, sensor_noise=0.01)
+        odo = LidarOdometry(
+            patchwork=PatchworkConfig(filtering_radius=80.0, max_levels=2),
+            cfg=OdometryConfig(capacity=32768, obstacle_samples=1024,
+                               ground_samples=512, icp_iters=10),
+        )
+        for i, s in enumerate(scans):
+            odo.add_scan(s, seed=i)
+        ate = odo.trajectory_error(gt)
+        assert ate < 0.15, ate
+
+    def test_loop_closure_and_optimize(self):
+        world = simulate_world(seed=4, num_pillars=50)
+        scans, gt = simulate_sequence(num_frames=5, seed=4, world=world,
+                                      step_xy=0.6, sensor_noise=0.01)
+        odo = LidarOdometry(
+            patchwork=PatchworkConfig(filtering_radius=80.0, max_levels=2),
+            cfg=OdometryConfig(capacity=32768, obstacle_samples=1024,
+                               ground_samples=512, icp_iters=10),
+        )
+        for i, s in enumerate(scans):
+            odo.add_scan(s, seed=i)
+        odo.add_loop_closure(0, len(scans) - 1)
+        poses = odo.optimize(iters=8)
+        assert poses.shape == (5, 4, 4)
+        ate = odo.trajectory_error(gt)
+        assert ate < 0.15, ate
