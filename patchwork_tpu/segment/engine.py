@@ -130,12 +130,9 @@ def _level_body(cfg, impl, xyz, pa, tau_patch, zth_patch, lvl, num_segs,
 
     # ---- per-node stats (counts + bounding box) ----
     cnt_i = ops.count(active)
-    xmin = ops.min(x, active)
-    xmax = ops.max(x, active)
-    ymin = ops.min(y, active)
-    ymax = ops.max(y, active)
-    zmin = ops.min(z, active)
-    zmax = ops.max(z, active)
+    mins, maxs = ops.bbox(xyz, active)
+    xmin, ymin, zmin = mins[0], mins[1], mins[2]
+    xmax, ymax, zmax = maxs[0], maxs[1], maxs[2]
 
     node_ids = jnp.arange(num_segs, dtype=jnp.int32)
     real = node_ids < trash
@@ -154,10 +151,12 @@ def _level_body(cfg, impl, xyz, pa, tau_patch, zth_patch, lvl, num_segs,
     fit_node = real & ~finished_now
 
     # ---- seed selection (cpp:143-182) ----
-    sortz = sort_by_segment(seg, z, num_segs)
     if cfg.adaptive_seed_height:
         z_th = zth_node
+        sortz = None
     else:
+        # non-adaptive path: 10th-percentile z per node needs the sort
+        sortz = sort_by_segment(seg, z, num_segs)
         k10 = (_F32(cfg.seed_percentile) * cnt_i.astype(_F32)).astype(jnp.int32)
         z_th = sortz.order_stat(k10) + _F32(cfg.th_seeds)
 
@@ -181,8 +180,37 @@ def _level_body(cfg, impl, xyz, pa, tau_patch, zth_patch, lvl, num_segs,
     seed = active & (z < zth_pt)
     seed_cnt = ops.count(seed)
     deficient = fit_node & (seed_cnt < cfg.min_seed_points)
-    low3 = sortz.scatter_rank_below(cfg.min_seed_points)
     deficient_pt = ops.gather_bool(deficient)
+
+    # "min_seed_points lowest-z points" fallback for deficient nodes
+    # (cpp:171-182).  Iterative (z, index)-lexicographic min extraction in
+    # a while_loop that runs ZERO trips when no node is deficient — the
+    # common case pays nothing (a full z-sort would cost ~30% of the
+    # engine).  Ties broken by lowest original index (matches the oracle's
+    # stable argsort).
+    any_deficient = jnp.any(deficient)
+    idx_f = jnp.arange(z.shape[0], dtype=_F32)
+
+    def _low_cond(st):
+        _, r = st
+        return (r < cfg.min_seed_points) & any_deficient
+
+    big = _F32(3.0e38)  # finite sentinel: inf would NaN the one-hot matmul gather
+
+    def _low_body(st):
+        chosen, r = st
+        cand = active & deficient_pt & ~chosen
+        m = ops.min(z, cand)
+        m_pt = ops.gather(jnp.where(jnp.isfinite(m), m, big))
+        is_min = cand & (z == m_pt)
+        mi = ops.min(idx_f, is_min)
+        mi_pt = ops.gather(jnp.where(jnp.isfinite(mi), mi, big))
+        pick = is_min & (idx_f == mi_pt)
+        return chosen | pick, r + 1
+
+    low3, _ = jax.lax.while_loop(
+        _low_cond, _low_body, (jnp.zeros_like(seed), jnp.int32(0))
+    )
     seed = jnp.where(deficient_pt, low3, seed) & active
 
     # ---- write early-out labels; init fitting nodes with seeds ----

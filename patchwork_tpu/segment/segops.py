@@ -69,12 +69,12 @@ class SegOps:
     """Segment reductions/gathers for one level's (seg, num_segs) binding.
 
     ``seg`` is (N,) int32 in [0, num_segs); out-of-segment points must be
-    parked on a trash slot by the caller.  ``impl`` is 'scatter' or
-    'onehot' (see module docstring).
+    parked on a trash slot by the caller.  ``impl`` is 'scatter',
+    'onehot', or 'pallas' (hand-fused TPU kernels, kernels/seg_pallas.py).
     """
 
     def __init__(self, seg: jax.Array, num_segs: int, impl: str):
-        if impl not in ("scatter", "onehot"):
+        if impl not in ("scatter", "onehot", "pallas"):
             raise ValueError(f"unknown segment impl {impl!r}")
         self.seg = seg
         self.S = num_segs
@@ -93,6 +93,10 @@ class SegOps:
             return self.sum(data[:, None])[:, 0]
         if self.impl == "scatter":
             return seg_sum(data, self.seg, self.S)
+        if self.impl == "pallas":
+            from ..kernels.seg_pallas import seg_sum_pallas
+
+            return seg_sum_pallas(data, self.seg, self.S)
         return jnp.einsum(
             "ns,nc->sc", self._oh, data, precision="highest",
             preferred_element_type=jnp.float32,
@@ -109,6 +113,11 @@ class SegOps:
         if self.impl == "scatter":
             v = jnp.where(where, vals, jnp.inf)
             return seg_min(v, self.seg, self.S)
+        if self.impl == "pallas":
+            from ..kernels.seg_pallas import seg_minmax_pallas
+
+            mins, _ = seg_minmax_pallas(vals[:, None], self.seg, where, self.S)
+            return mins[0]
         m = jnp.where(
             self._ohb & where[:, None], vals[:, None], jnp.float32(jnp.inf)
         )
@@ -118,10 +127,29 @@ class SegOps:
         if self.impl == "scatter":
             v = jnp.where(where, vals, -jnp.inf)
             return seg_max(v, self.seg, self.S)
+        if self.impl == "pallas":
+            from ..kernels.seg_pallas import seg_minmax_pallas
+
+            _, maxs = seg_minmax_pallas(vals[:, None], self.seg, where, self.S)
+            return maxs[0]
         m = jnp.where(
             self._ohb & where[:, None], vals[:, None], jnp.float32(-jnp.inf)
         )
         return jnp.max(m, axis=0)
+
+    def bbox(self, xyz: jax.Array, where: jax.Array):
+        """Fused masked min/max of x, y, z: returns (mins (3, S), maxs (3, S)).
+
+        One pass in the pallas impl; falls back to per-channel min/max
+        elsewhere.
+        """
+        if self.impl == "pallas":
+            from ..kernels.seg_pallas import seg_minmax_pallas
+
+            return seg_minmax_pallas(xyz, self.seg, where, self.S)
+        mins = jnp.stack([self.min(xyz[:, i], where) for i in range(3)])
+        maxs = jnp.stack([self.max(xyz[:, i], where) for i in range(3)])
+        return mins, maxs
 
     # -- gathers: (S, C) -> (N, C) ---------------------------------------
     def gather(self, table: jax.Array) -> jax.Array:
@@ -130,6 +158,10 @@ class SegOps:
             return self.gather(table[:, None])[:, 0]
         if self.impl == "scatter":
             return table[self.seg]
+        if self.impl == "pallas":
+            from ..kernels.seg_pallas import seg_gather_pallas
+
+            return seg_gather_pallas(table, self.seg)
         return jnp.einsum(
             "ns,sc->nc", self._oh, table, precision="highest",
             preferred_element_type=jnp.float32,

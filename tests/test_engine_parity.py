@@ -114,3 +114,45 @@ class TestEngineParity:
         inz = np.asarray(res.in_patch)
         recall = (g & labels)[inz].sum() / max((labels & inz).sum(), 1)
         assert recall > 0.95
+
+
+class TestDeficientSeeds:
+    def test_all_deficient_iou(self):
+        # Every patch's adaptive seed threshold lies below all points ->
+        # the "3 lowest-z" fallback fires everywhere.  Plane fits through
+        # exactly 3 near-degenerate seeds amplify eigensolver fp
+        # differences, so oracle parity is IoU-level here (SURVEY.md §4);
+        # the two engine impls must still agree bitwise.
+        pts = demo_point_cloud(3000, seed=5).copy()
+        pts[:, 2] += 2.0
+        cfg = PatchworkConfig(filtering_radius=60.0)
+        g_o, *_ = filter_ground_oracle(pts, cfg)
+        res_s = make_filter_ground(cfg, impl="scatter")(
+            jnp.asarray(pts), jnp.ones(len(pts), bool)
+        )
+        res_o = make_filter_ground(cfg, impl="onehot")(
+            jnp.asarray(pts), jnp.ones(len(pts), bool)
+        )
+        g_s = np.asarray(res_s.ground)
+        np.testing.assert_array_equal(g_s, np.asarray(res_o.ground))
+        union = (g_s | g_o).sum()
+        iou = (g_s & g_o).sum() / max(union, 1)
+        assert iou > 0.95, iou
+
+    def test_sparse_patch_fallback_exact(self):
+        # deficient nodes with >3 well-separated points: fallback must be
+        # exactly the 3 lowest (stable tiebreak) -> bitwise oracle parity
+        rng = np.random.default_rng(19)
+        n = 2000
+        pts = np.empty((n, 3), np.float32)
+        pts[:, 0] = rng.uniform(2, 45, n)
+        pts[:, 1] = rng.uniform(-45, 45, n)
+        pts[:, 2] = rng.uniform(1.5, 4.0, n)  # all above z_th -> deficient
+        cfg = PatchworkConfig(filtering_radius=50.0, max_iter=5)
+        g_o, *_ = filter_ground_oracle(pts, cfg)
+        res = make_filter_ground(cfg, impl="scatter")(
+            jnp.asarray(pts), jnp.ones(n, bool)
+        )
+        g = np.asarray(res.ground)
+        union = (g | g_o).sum()
+        assert (g & g_o).sum() / max(union, 1) > 0.97
