@@ -15,6 +15,23 @@ from .segment.engine import (
     make_filter_ground_batched,
 )
 
+
+def __getattr__(name):  # lazy heavy imports
+    if name == "RecursivePatchwork":
+        from .api import RecursivePatchwork
+
+        return RecursivePatchwork
+    if name == "PointCloudProcessor":
+        from .processor import PointCloudProcessor
+
+        return PointCloudProcessor
+    if name == "LidarFusion":
+        from .fusion.fusion import LidarFusion
+
+        return LidarFusion
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -27,5 +44,8 @@ __all__ = [
     "filter_ground",
     "make_filter_ground",
     "make_filter_ground_batched",
+    "RecursivePatchwork",
+    "PointCloudProcessor",
+    "LidarFusion",
     "__version__",
 ]

@@ -27,10 +27,19 @@ def build_parser() -> argparse.ArgumentParser:
         prog="patchwork_tpu",
         description="TPU-native Recursive Patchwork ground segmentation",
     )
-    p.add_argument("input", nargs="?", help=".bin / .npz point cloud file")
+    p.add_argument("input", nargs="?",
+                   help=".bin / .npz point cloud, or .db3/.mcap bag file")
     p.add_argument("--demo", action="store_true", help="synthetic demo cloud")
     p.add_argument("--kitti", help="KITTI velodyne directory")
     p.add_argument("--frame", type=int, default=0, help="frame number")
+    p.add_argument("--topics", nargs="+", default=None,
+                   help="bag topics; >1 topic triggers multi-LiDAR fusion "
+                        "(default: auto-detect point-cloud topics)")
+    p.add_argument("--stream", action="store_true",
+                   help="stream ALL frames (KITTI dir or bag topic) through "
+                        "the engine; writes masks npz + latency report")
+    p.add_argument("--variant", default="recursive",
+                   help="algorithm variant: recursive | patchwork | patchwork_pp")
     p.add_argument("--num-points", type=int, default=10000, help="demo cloud size")
     p.add_argument("--seed", type=int, default=0, help="demo RNG seed")
     # BEV geometry (main.cpp defaults)
@@ -55,6 +64,18 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _is_bag(path: str) -> bool:
+    if path.endswith((".db3", ".mcap")):
+        return True
+    try:
+        from .io.bag import sniff_format
+
+        sniff_format(path)
+        return True
+    except (ValueError, OSError):
+        return False
+
+
 def load_cloud(args) -> np.ndarray:
     from .io.synthetic import demo_point_cloud
 
@@ -70,6 +91,8 @@ def load_cloud(args) -> np.ndarray:
             sys.exit(f"frame {args.frame} out of range ({len(paths)} scans)")
         return read_bin(paths[args.frame])
     if args.input:
+        if _is_bag(args.input):
+            return load_bag_frame(args)
         if args.input.endswith(".npz"):
             with np.load(args.input) as f:
                 key = "xyz" if "xyz" in f else list(f.keys())[0]
@@ -80,12 +103,80 @@ def load_cloud(args) -> np.ndarray:
     sys.exit("need --demo, --kitti DIR, or an input file (see --help)")
 
 
+def load_bag_frame(args) -> np.ndarray:
+    """Load one frame from a bag; multiple topics -> multi-LiDAR fusion
+    (reference: src/main.cpp:217-249)."""
+    from .fusion.fusion import LidarFusion
+    from .io.bag import BagReader
+
+    with BagReader(args.input) as bag:
+        topics = args.topics or bag.point_cloud_topics()
+        if not topics:
+            sys.exit(f"no point-cloud topics in {args.input} "
+                     f"(topics: {bag.topic_names()})")
+        print(f"Topics: {' '.join(topics)}")
+        clouds = bag.load_multiple_point_clouds(topics, args.frame)
+    if not any(len(c) for c in clouds):
+        sys.exit(f"no points at frame {args.frame} on any topic")
+    if len(clouds) == 1:
+        return clouds[0]
+    fusion = LidarFusion()
+    fused = fusion.fuse(clouds)
+    return fused.to_numpy()
+
+
+def stream_mode(args) -> int:
+    """Process a whole sequence/bag through the streaming node; write
+    packed masks + per-frame counts + latency report."""
+    from .node import NodeParams, PatchworkNode
+    from .utils.checkpoint import save_masks
+
+    if args.kitti:
+        from .io.kitti import iter_sequence
+
+        scans = iter_sequence(args.kitti)
+    elif args.input and _is_bag(args.input):
+        from .io.bag import BagReader
+
+        bag = BagReader(args.input)
+        topics = args.topics or bag.point_cloud_topics()
+        if not topics:
+            sys.exit("no point-cloud topics in bag")
+        scans = bag.iter_point_clouds(topics[0])
+    else:
+        sys.exit("--stream needs --kitti DIR or a bag input")
+
+    cap = 1 << (17 if args.num_points <= 131072 else args.num_points.bit_length())
+    node = PatchworkNode(NodeParams(), config=make_config(args), capacity=cap)
+    results = node.run(scans)
+    for r in results:
+        print(f"Processed frame {r.index} in {r.latency_s*1e3:.1f} ms: "
+              f"{r.num_ground} ground, {r.num_obstacles} obstacles")
+    print(node.times.report())
+    if results:
+        out = (args.out_prefix or "stream") + "_masks.npz"
+        save_masks(
+            out,
+            np.stack([r.ground_mask for r in results]),
+            np.stack([r.valid_mask for r in results]),
+            np.array([r.index for r in results]),
+        )
+        print(f"Saved: {out}")
+    return 0
+
+
 def make_config(args):
     from .core.config import PatchworkConfig
 
     kw = {}
     if args.config_json:
         kw.update(json.loads(args.config_json))
+    if args.variant != "recursive":
+        base = PatchworkConfig.variant(args.variant)
+        kw.setdefault("max_split_depth", base.max_split_depth)
+        kw.setdefault("max_levels", base.max_levels)
+        for f in ("adaptive_seed_height", "flat_dz", "num_sectors"):
+            kw.setdefault(f, getattr(base, f))
     for field, name in [
         ("sensor_height", "sensor_height"),
         ("filtering_radius", "filtering_radius"),
@@ -104,6 +195,9 @@ def make_config(args):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     t_start = time.perf_counter()
+
+    if args.stream:
+        return stream_mode(args)
 
     pts = load_cloud(args)
     print(f"Total points: {len(pts)}")

@@ -112,6 +112,40 @@ class PatchworkConfig:
     def replace(self, **kw) -> "PatchworkConfig":
         return dataclasses.replace(self, **kw)
 
+    # --- algorithm-variant presets (BASELINE.json configs[2]) ---
+    @classmethod
+    def recursive(cls, **kw) -> "PatchworkConfig":
+        """Full Recursive Patchwork (the reference's default behavior)."""
+        return cls(**kw)
+
+    @classmethod
+    def patchwork(cls, **kw) -> "PatchworkConfig":
+        """Plain Patchwork: polar-grid seeded plane fitting, NO recursive
+        splits (the algorithm the 'Recursive' variant extends)."""
+        kw.setdefault("max_split_depth", 0)
+        kw.setdefault("max_levels", 1)
+        return cls(**kw)
+
+    @classmethod
+    def patchwork_pp(cls, **kw) -> "PatchworkConfig":
+        """Patchwork++-style: adaptive seeds + distance-scaled thresholds
+        with single-level fitting and a tighter flatness early-out —
+        approximated within this engine's parameter space."""
+        kw.setdefault("max_split_depth", 0)
+        kw.setdefault("max_levels", 1)
+        kw.setdefault("adaptive_seed_height", True)
+        kw.setdefault("flat_dz", 0.1)
+        kw.setdefault("num_sectors", 16)
+        return cls(**kw)
+
+    VARIANTS = ("recursive", "patchwork", "patchwork_pp")
+
+    @classmethod
+    def variant(cls, name: str, **kw) -> "PatchworkConfig":
+        if name not in cls.VARIANTS:
+            raise ValueError(f"unknown variant {name!r}; options: {cls.VARIANTS}")
+        return getattr(cls, name)(**kw)
+
 
 @dataclasses.dataclass(frozen=True)
 class LidarConfig:
