@@ -84,3 +84,46 @@ class TestParityTool:
         )
         assert r.returncode == 0, r.stdout + r.stderr
         assert "ALL PARITY PASS" in r.stdout
+
+
+class TestDeviceAndDebug:
+    def test_device_info(self):
+        from patchwork_tpu.core.device import (
+            accelerator_available,
+            cleanup,
+            device_info,
+            initialize,
+        )
+
+        assert isinstance(accelerator_available(), bool)
+        assert initialize() in (True, False)
+        info = device_info()
+        assert len(info) >= 1 and "platform" in info[0]
+        cleanup()
+
+    def test_multihost_noop(self):
+        from patchwork_tpu.parallel.multihost import (
+            host_summary,
+            initialize_multihost,
+            is_multihost,
+        )
+
+        assert initialize_multihost() is False  # no coordinator configured
+        assert is_multihost() is False
+        assert "process 0/1" in host_summary()
+
+    def test_debug_nans_toggle(self):
+        import jax
+        import jax.numpy as jnp
+        import pytest as _pytest
+
+        from patchwork_tpu.utils.debug import assert_finite, debug_nans
+
+        with debug_nans(True):
+            with _pytest.raises(FloatingPointError):
+                jax.block_until_ready(jnp.zeros(4) / jnp.zeros(4))
+        # restored afterwards
+        assert not jax.config.jax_debug_nans
+        with _pytest.raises(FloatingPointError):
+            assert_finite(np.array([1.0, np.nan]))
+        assert_finite(np.ones(3))
