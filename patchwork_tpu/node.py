@@ -85,10 +85,15 @@ class PatchworkNode:
         params: NodeParams | None = None,
         config: PatchworkConfig | None = None,
         capacity: int = 131072,
+        batch_size: int = 1,
     ):
+        """``batch_size`` > 1 groups frames into one vmapped device step —
+        the throughput mode for offline sequence processing (BASELINE
+        configs[2]); batch_size=1 minimizes per-frame latency."""
         self.params = params or NodeParams()
         self.config = self.params.to_config(config)
         self.capacity = capacity
+        self.batch_size = max(batch_size, 1)
         self.times = StageTimes()
         cfg = self.config
 
@@ -104,7 +109,20 @@ class PatchworkNode:
                 jnp.sum(obstacles, dtype=jnp.int32),
             )
 
+        @jax.jit
+        def step_batched(xyz, valid):
+            res = jax.vmap(lambda p, v: filter_ground(p, v, cfg))(xyz, valid)
+            ground = res.ground
+            obstacles = res.valid & ~res.ground
+            return (
+                ground,
+                res.valid,
+                jnp.sum(ground, axis=-1, dtype=jnp.int32),
+                jnp.sum(obstacles, axis=-1, dtype=jnp.int32),
+            )
+
         self._step = step
+        self._step_batched = step_batched
 
     def _pad(self, pts: np.ndarray):
         n = min(len(pts), self.capacity)
@@ -150,6 +168,8 @@ class PatchworkNode:
         pulled to the host, hiding transfer latency (the reference
         processes strictly sequentially per DDS message).
         """
+        if self.batch_size > 1:
+            return self._run_batched(scans, sinks or [], limit)
         sinks = sinks or []
         results: List[FrameResult] = []
         inflight: List[tuple] = []  # (index, pts, device outputs, t0)
@@ -182,6 +202,54 @@ class PatchworkNode:
                 drain_one()
         while inflight:
             drain_one()
+        return results
+
+    def _run_batched(self, scans, sinks, limit) -> List[FrameResult]:
+        """Group frames into vmapped batches (short final batch padded with
+        empty frames that are dropped from the results)."""
+        results: List[FrameResult] = []
+        buf: List[tuple] = []  # (index, pts)
+
+        def flush():
+            if not buf:
+                return
+            t0 = time.perf_counter()
+            b = self.batch_size
+            xyz = np.zeros((b, self.capacity, 3), np.float32)
+            valid = np.zeros((b, self.capacity), bool)
+            for slot, (_, pts) in enumerate(buf):
+                n = min(len(pts), self.capacity)
+                xyz[slot, :n] = np.asarray(pts, np.float32)[:n, :3]
+                valid[slot, :n] = True
+            g, v, ng, no = self._step_batched(
+                jnp.asarray(xyz), jnp.asarray(valid)
+            )
+            g, v = np.asarray(g), np.asarray(v)
+            dt = time.perf_counter() - t0
+            for slot, (idx, pts) in enumerate(buf):
+                res = FrameResult(
+                    index=idx,
+                    ground_mask=g[slot],
+                    valid_mask=v[slot],
+                    num_ground=int(ng[slot]),
+                    num_obstacles=int(no[slot]),
+                    latency_s=dt / len(buf),
+                )
+                self.times.add("frame", res.latency_s)
+                results.append(res)
+                for sink in sinks:
+                    sink(pts, res)
+            buf.clear()
+
+        for i, pts in enumerate(scans):
+            if limit is not None and i >= limit:
+                break
+            if len(pts) < self.params.min_points:
+                continue
+            buf.append((i, pts))
+            if len(buf) == self.batch_size:
+                flush()
+        flush()
         return results
 
 
