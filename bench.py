@@ -45,14 +45,19 @@ def main():
 
     fn = make_filter_ground_batched(cfg)
 
+    def sync(r):
+        # NOTE: block_until_ready is not a reliable barrier on every PJRT
+        # transport (observed on tunneled backends); a scalar device->host
+        # fetch always drains the stream.
+        return float(r.ground.sum())
+
     # warmup/compile
-    res = fn(xyz, valid)
-    jax.block_until_ready(res.ground)
+    sync(fn(xyz, valid))
 
     t0 = time.perf_counter()
     for _ in range(args.reps):
         res = fn(xyz, valid)
-    jax.block_until_ready(res.ground)
+    sync(res)
     dt = time.perf_counter() - t0
     scans_per_s = args.reps * b / dt
 

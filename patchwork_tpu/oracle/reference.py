@@ -162,25 +162,28 @@ def filter_ground_oracle(points: np.ndarray, cfg: PatchworkConfig):
     if in_zone.sum() < 3:
         return ground, valid, in_zone, in_patch
 
-    # Log-spaced ring edges (cpp:344-350).
-    r_min, r_max = np.float32(cfg.r_min), np.float32(cfg.filtering_radius)
-    edges = np.array(
-        [
-            r_min * np.float32((r_max / r_min) ** (np.float32(i) / cfg.num_rings))
-            for i in range(cfg.num_rings + 1)
-        ],
-        np.float32,
-    )
-    sector_angle = np.float32(2.0 * np.pi / cfg.num_sectors)
+    # Ring/sector edges shared with the engine's binning (single source of
+    # truth, segment/binning.py — the same f32 expressions as cpp:344-352).
+    from ..segment.binning import ring_edges, sector_edges
 
-    ang = np.arctan2(points[:, 1], points[:, 0]).astype(np.float32)
+    edges = ring_edges(cfg)
+    s_edges = sector_edges(cfg)
+
+    # atan2 via the same math library as the engine (XLA): libm vs XLA
+    # differ by 1 ulp on some inputs, which would flip sector membership
+    # for points exactly on a sector edge.  The oracle defines the
+    # ALGORITHM's semantics, not a particular atan2 rounding.
+    import jax.numpy as jnp
+
+    ang = np.asarray(jnp.arctan2(jnp.asarray(points[:, 1]),
+                                 jnp.asarray(points[:, 0])))
     ang = np.where(ang < 0, ang + np.float32(2.0 * np.pi), ang)
 
     for ring in range(cfg.num_rings):
         r0, r1 = edges[ring], edges[ring + 1]
         for sector in range(cfg.num_sectors):
-            a0 = np.float32(sector) * sector_angle
-            a1 = np.float32(sector + 1) * sector_angle
+            a0 = s_edges[sector]
+            a1 = s_edges[sector + 1]
             sel = in_zone & (d >= r0) & (d < r1) & (ang >= a0) & (ang < a1)
             idxs = np.nonzero(sel)[0]
             if len(idxs) == 0:

@@ -25,22 +25,25 @@ __all__ = ["ring_edges", "sector_edges", "PatchAssignment", "assign_patches"]
 def ring_edges(cfg: PatchworkConfig) -> np.ndarray:
     """Log-spaced ring edges r_min * (R/r_min)^(i/num_rings), float32.
 
-    Reference: src/recursive_patchwork.cpp:344-350.  Shared with the NumPy
-    oracle so both implementations bin against identical edges.
+    Computed in float32 exactly as the reference's powf expression
+    (src/recursive_patchwork.cpp:344-350).  Shared with the NumPy oracle
+    so both implementations bin against bit-identical edges.
     """
-    i = np.arange(cfg.num_rings + 1, dtype=np.float64)
-    edges = cfg.r_min * (cfg.filtering_radius / cfg.r_min) ** (i / cfg.num_rings)
-    return edges.astype(np.float32)
+    i = np.arange(cfg.num_rings + 1, dtype=np.float32)
+    ratio = np.float32(cfg.filtering_radius) / np.float32(cfg.r_min)
+    return np.float32(cfg.r_min) * np.power(
+        ratio, i / np.float32(cfg.num_rings), dtype=np.float32
+    )
 
 
 def sector_edges(cfg: PatchworkConfig) -> np.ndarray:
-    """Sector edges s * (2*pi/num_sectors) for s = 0..num_sectors, float32.
+    """Sector edges float32(s) * float32(2*pi/num_sectors), s=0..num_sectors.
 
-    Computed as the same float product the reference uses
-    (src/recursive_patchwork.cpp:352,364).
+    The same float32 product the reference evaluates per sector
+    (src/recursive_patchwork.cpp:352,364).  Shared with the NumPy oracle.
     """
-    s = np.arange(cfg.num_sectors + 1, dtype=np.float64)
-    return (s * (2.0 * math.pi / cfg.num_sectors)).astype(np.float32)
+    s = np.arange(cfg.num_sectors + 1, dtype=np.float32)
+    return s * np.float32(2.0 * math.pi / cfg.num_sectors)
 
 
 class PatchAssignment(NamedTuple):
