@@ -27,19 +27,22 @@ def main():
     ap.add_argument("--baseline-scans", type=int, default=1,
                     help="oracle scans to time for the CPU baseline")
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--cloud", choices=["demo", "velodyne"], default="demo",
+                    help="scan distribution: uniform demo or spinning-LiDAR-like")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     from patchwork_tpu import PatchworkConfig
-    from patchwork_tpu.io.synthetic import demo_point_cloud
+    from patchwork_tpu.io.synthetic import demo_point_cloud, velodyne_like_cloud
     from patchwork_tpu.segment.engine import make_filter_ground_batched
 
     cfg = PatchworkConfig()
     b, n = args.batch, args.points
 
-    rng_scans = [demo_point_cloud(n, seed=i) for i in range(b)]
+    gen = demo_point_cloud if args.cloud == "demo" else velodyne_like_cloud
+    rng_scans = [gen(n, seed=i) for i in range(b)]
     xyz = jnp.asarray(np.stack(rng_scans))
     valid = jnp.ones((b, n), bool)
 
@@ -78,7 +81,7 @@ def main():
         )
 
     print(json.dumps({
-        "metric": f"synthetic_{n}pt_scans_per_s_per_chip",
+        "metric": f"synthetic_{args.cloud}_{n}pt_scans_per_s_per_chip",
         "value": round(scans_per_s, 3),
         "unit": "scans/s",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,

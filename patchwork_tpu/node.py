@@ -194,12 +194,16 @@ class PatchworkNode:
                 break
             if len(pts) < self.params.min_points:
                 continue
-            t0 = time.perf_counter()
-            xyz, valid = self._pad(pts)
-            out = self._step(xyz, valid)
-            inflight.append((i, pts, out, t0))
-            while len(inflight) >= pipeline_depth:
-                drain_one()
+            try:
+                t0 = time.perf_counter()
+                xyz, valid = self._pad(pts)
+                out = self._step(xyz, valid)
+                inflight.append((i, pts, out, t0))
+                while len(inflight) >= pipeline_depth:
+                    drain_one()
+            except Exception as e:  # per-frame resilience (reference
+                # node catches and logs per callback, cpp:105-107)
+                print(f"Error processing frame {i}: {type(e).__name__}: {e}")
         while inflight:
             drain_one()
         return results

@@ -128,14 +128,37 @@ def _level_body(cfg, impl, xyz, pa, tau_patch, zth_patch, lvl, num_segs,
     tau_node = tau_patch[node_patch]  # (S,) tiny gathers
     zth_node = zth_patch[node_patch]
 
-    # ---- per-node stats (counts + bounding box) ----
-    cnt_i = ops.count(active)
+    node_ids = jnp.arange(num_segs, dtype=jnp.int32)
+    real = node_ids < trash
+
+    # ---- stats + seed candidates, op-fused ----
+    # Adaptive (default) path: the seed threshold depends only on the base
+    # patch, so seed candidacy is known BEFORE any per-node statistic —
+    # one 2-channel gather ([z_th, tau]), then ONE 2-channel sum fuses the
+    # node count with the seed count, and the bbox is two multi-channel
+    # reduces.  Non-adaptive needs the percentile sort first.
+    if cfg.adaptive_seed_height:
+        tg = ops.gather(jnp.stack([zth_node, tau_node], axis=1))
+        zth_pt, tau_pt = tg[:, 0], tg[:, 1]
+        seed = active & (z < zth_pt)
+        cnts = ops.sum(
+            jnp.stack([active.astype(_F32), seed.astype(_F32)], axis=1)
+        )
+        cnt_i = cnts[:, 0].astype(jnp.int32)
+        seed_cnt = cnts[:, 1].astype(jnp.int32)
+    else:
+        sortz = sort_by_segment(seg, z, num_segs)
+        cnt_i = ops.count(active)
+        k10 = (_F32(cfg.seed_percentile) * cnt_i.astype(_F32)).astype(jnp.int32)
+        z_th = sortz.order_stat(k10) + _F32(cfg.th_seeds)
+        tg = ops.gather(jnp.stack([z_th, tau_node], axis=1))
+        zth_pt, tau_pt = tg[:, 0], tg[:, 1]
+        seed = active & (z < zth_pt)
+        seed_cnt = ops.count(seed)
+
     mins, maxs = ops.bbox(xyz, active)
     xmin, ymin, zmin = mins[0], mins[1], mins[2]
     xmax, ymax, zmax = maxs[0], maxs[1], maxs[2]
-
-    node_ids = jnp.arange(num_segs, dtype=jnp.int32)
-    real = node_ids < trash
 
     # ---- early-outs, in reference order (cpp:111-140) ----
     too_small = cnt_i < 3
@@ -151,36 +174,23 @@ def _level_body(cfg, impl, xyz, pa, tau_patch, zth_patch, lvl, num_segs,
     fit_node = real & ~finished_now
 
     # ---- seed selection (cpp:143-182) ----
-    if cfg.adaptive_seed_height:
-        z_th = zth_node
-        sortz = None
-    else:
-        # non-adaptive path: 10th-percentile z per node needs the sort
-        sortz = sort_by_segment(seg, z, num_segs)
-        k10 = (_F32(cfg.seed_percentile) * cnt_i.astype(_F32)).astype(jnp.int32)
-        z_th = sortz.order_stat(k10) + _F32(cfg.th_seeds)
-
-    # one bundled per-point gather: [z_th, finished, label, fit]
+    deficient = fit_node & (seed_cnt < cfg.min_seed_points)
+    # one bundled per-point gather: [finished, label, fit, deficient]
     t1 = ops.gather(
         jnp.stack(
             [
-                z_th,
                 finished_now.astype(_F32),
                 label_true.astype(_F32),
                 fit_node.astype(_F32),
+                deficient.astype(_F32),
             ],
             axis=1,
         )
     )
-    zth_pt = t1[:, 0]
-    finished_pt = t1[:, 1] > 0.5
-    label_pt = t1[:, 2] > 0.5
-    fit_pt = t1[:, 3] > 0.5
-
-    seed = active & (z < zth_pt)
-    seed_cnt = ops.count(seed)
-    deficient = fit_node & (seed_cnt < cfg.min_seed_points)
-    deficient_pt = ops.gather_bool(deficient)
+    finished_pt = t1[:, 0] > 0.5
+    label_pt = t1[:, 1] > 0.5
+    fit_pt = t1[:, 2] > 0.5
+    deficient_pt = t1[:, 3] > 0.5
 
     # "min_seed_points lowest-z points" fallback for deficient nodes
     # (cpp:171-182).  Iterative (z, index)-lexicographic min extraction in
@@ -219,8 +229,6 @@ def _level_body(cfg, impl, xyz, pa, tau_patch, zth_patch, lvl, num_segs,
     done = done | (active & finished_pt)
 
     # ---- batched iterative plane fitting (cpp:186-217) ----
-    tau_pt = ops.gather(tau_node)
-
     def _cond(st):
         _, any_changed, it = st
         return (it < cfg.max_iter) & any_changed

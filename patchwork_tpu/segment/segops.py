@@ -140,13 +140,21 @@ class SegOps:
     def bbox(self, xyz: jax.Array, where: jax.Array):
         """Fused masked min/max of x, y, z: returns (mins (3, S), maxs (3, S)).
 
-        One pass in the pallas impl; falls back to per-channel min/max
-        elsewhere.
+        One pass in the pallas impl; two multi-channel reduces in the
+        onehot impl (instead of six single-channel ones); per-channel
+        scatter ops on CPU.
         """
         if self.impl == "pallas":
             from ..kernels.seg_pallas import seg_minmax_pallas
 
             return seg_minmax_pallas(xyz, self.seg, where, self.S)
+        if self.impl == "onehot":
+            # (N, S, 3) masked values, one fused reduce per direction
+            sel = (self._ohb & where[:, None])[:, :, None]
+            v = xyz[:, None, :]
+            mins = jnp.min(jnp.where(sel, v, jnp.inf), axis=0)   # (S, 3)
+            maxs = jnp.max(jnp.where(sel, v, -jnp.inf), axis=0)
+            return mins.T, maxs.T
         mins = jnp.stack([self.min(xyz[:, i], where) for i in range(3)])
         maxs = jnp.stack([self.max(xyz[:, i], where) for i in range(3)])
         return mins, maxs
