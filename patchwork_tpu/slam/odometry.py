@@ -96,7 +96,13 @@ class LidarOdometry:
         return jnp.asarray(xyz), jnp.asarray(valid)
 
     def add_scan(self, pts: np.ndarray, seed: int = 0) -> np.ndarray:
-        """Process one scan; returns the current world pose estimate."""
+        """Process one scan; returns the current world pose estimate.
+
+        Every scan is matched against the LAST KEYFRAME; a new keyframe
+        (graph node + odometry edge) is created every
+        ``cfg.keyframe_every`` frames — intermediate frames update the
+        live pose without growing the graph.
+        """
         xyz, valid = self._pad(pts)
         o, ov, g, gv = self._extract(xyz, valid, jax.random.key(seed))
         frame = {"obst": o, "obst_valid": ov, "ground": g, "ground_valid": gv}
@@ -104,17 +110,25 @@ class LidarOdometry:
         if not self._frames:
             self._frames.append(frame)
             self.poses.append(np.eye(4, dtype=np.float32))
+            self._frame_counter = 0
+            self.current_pose = self.poses[-1]
             return self.poses[-1]
 
         prev = self._frames[-1]
-        # T maps current scan's frame into the previous keyframe's frame
-        res = self._match(frame, prev, jnp.eye(4, dtype=jnp.float32))
-        T_prev_cur = np.asarray(res.transform)
-        pose = self.poses[-1] @ T_prev_cur
+        # init from the last inter-frame estimate relative to the keyframe
+        init = jnp.asarray(
+            np.linalg.inv(self.poses[-1]) @ self.current_pose, jnp.float32
+        )
+        res = self._match(frame, prev, init)
+        T_key_cur = np.asarray(res.transform)
+        pose = (self.poses[-1] @ T_key_cur).astype(np.float32)
+        self.current_pose = pose
 
-        self._frames.append(frame)
-        self.poses.append(pose.astype(np.float32))
-        self.edges.append((len(self.poses) - 2, len(self.poses) - 1, T_prev_cur))
+        self._frame_counter += 1
+        if self._frame_counter % self.cfg.keyframe_every == 0:
+            self._frames.append(frame)
+            self.poses.append(pose)
+            self.edges.append((len(self.poses) - 2, len(self.poses) - 1, T_key_cur))
         return pose
 
     def add_loop_closure(self, i: int, j: int, seed: int = 0) -> np.ndarray:

@@ -220,3 +220,22 @@ class TestOdometry:
         assert poses.shape == (5, 4, 4)
         ate = odo.trajectory_error(gt)
         assert ate < 0.15, ate
+
+    def test_keyframe_cadence(self):
+        world = simulate_world(seed=6, num_pillars=50)
+        scans, gt = simulate_sequence(num_frames=7, seed=6, world=world,
+                                      step_xy=0.4, sensor_noise=0.01)
+        odo = LidarOdometry(
+            patchwork=PatchworkConfig(filtering_radius=80.0, max_levels=1),
+            cfg=OdometryConfig(capacity=32768, obstacle_samples=1024,
+                               ground_samples=512, icp_iters=8,
+                               keyframe_every=2),
+        )
+        for i, s in enumerate(scans):
+            pose = odo.add_scan(s, seed=i)
+        # 7 frames at cadence 2 -> keyframes at frames 0,2,4,6
+        assert len(odo.poses) == 4
+        assert len(odo.edges) == 3
+        # live pose still tracks ground truth
+        d = pose[:3, 3] - gt[-1][:3, 3]
+        assert np.linalg.norm(d) < 0.2
