@@ -1,0 +1,146 @@
+"""Landmark extraction + association for bundle adjustment.
+
+Turns the odometry's per-keyframe obstacle points into a BAProblem:
+
+1. per keyframe, cluster obstacle points into landmark OBSERVATIONS with
+   a host-side voxel-hash clustering (the same native/NumPy voxel
+   downsample used for ingest — pillar-like obstacles collapse to stable
+   centroids);
+2. associate observations across keyframes by nearest neighbor in the
+   world frame (using the odometry poses) with a gating radius —
+   greedy sequential association, new landmarks spawned for unmatched
+   observations;
+3. emit the (obs_k, obs_l, p_local) arrays (padded to a device-friendly
+   multiple) for slam/ba.bundle_adjust{_sharded}.
+
+This closes the BASELINE configs[4] loop: segmentation -> odometry ->
+landmarks -> Schur-complement BA -> refined trajectory.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..io.native import voxel_downsample_host
+from .ba import BAProblem
+
+__all__ = ["extract_observations", "build_ba_problem", "refine_with_ba"]
+
+
+def extract_observations(
+    obst_xyz: np.ndarray, voxel: float = 1.5, min_height: float = 0.3
+) -> np.ndarray:
+    """Cluster one keyframe's obstacle points into observation centroids.
+
+    Voxel-hash centroids at ``voxel`` resolution, keeping clusters whose
+    centroid sits above ``min_height`` (pillar/structure-like).
+    """
+    if len(obst_xyz) == 0:
+        return np.zeros((0, 3), np.float32)
+    cents = voxel_downsample_host(np.asarray(obst_xyz, np.float32), voxel)
+    return cents[cents[:, 2] > min_height]
+
+
+def build_ba_problem(
+    poses: np.ndarray,                 # (K, 4, 4) world_T_keyframe
+    keyframe_obs: List[np.ndarray],    # per keyframe (n_i, 3) local centroids
+    gate: float = 1.0,
+    min_track_length: int = 2,
+    pad_multiple: int = 8,
+) -> Tuple[BAProblem, int]:
+    """Associate observations into landmarks; returns (problem, n_real_obs)."""
+    world_pts: List[np.ndarray] = []   # running landmark estimates
+    counts: List[int] = []
+    obs_k, obs_l, obs_p = [], [], []
+
+    for k, obs in enumerate(keyframe_obs):
+        if len(obs) == 0:
+            continue
+        R, t = poses[k][:3, :3], poses[k][:3, 3]
+        world = obs @ R.T + t
+        for local, w in zip(obs, world):
+            if world_pts:
+                arr = np.stack(world_pts)
+                d = np.linalg.norm(arr - w, axis=1)
+                j = int(np.argmin(d))
+                if d[j] < gate:
+                    # running-mean update of the landmark estimate
+                    c = counts[j]
+                    world_pts[j] = (arr[j] * c + w) / (c + 1)
+                    counts[j] = c + 1
+                    obs_k.append(k)
+                    obs_l.append(j)
+                    obs_p.append(local)
+                    continue
+            world_pts.append(w.astype(np.float32))
+            counts.append(1)
+            obs_k.append(k)
+            obs_l.append(len(world_pts) - 1)
+            obs_p.append(local)
+
+    # drop single-observation landmarks (no constraint value)
+    keep = [j for j, c in enumerate(counts) if c >= min_track_length]
+    remap = {j: i for i, j in enumerate(keep)}
+    sel = [i for i, l in enumerate(obs_l) if l in remap]
+    obs_k = [obs_k[i] for i in sel]
+    obs_l = [remap[obs_l[i]] for i in sel]
+    obs_p = [obs_p[i] for i in sel]
+    points = (
+        np.stack([world_pts[j] for j in keep])
+        if keep else np.zeros((1, 3), np.float32)
+    )
+
+    n_obs = len(obs_k)
+    pad = (-max(n_obs, 1)) % pad_multiple
+    if n_obs == 0:
+        obs_k, obs_l, obs_p = [0], [0], [np.zeros(3, np.float32)]
+        n_obs = 0
+        pad = pad_multiple - 1
+    obs_k += [0] * pad
+    obs_l += [0] * pad
+    obs_p += [np.zeros(3, np.float32)] * pad
+    w = np.zeros(len(obs_k), np.float32)
+    w[:n_obs] = 1.0
+
+    prob = BAProblem(
+        poses=jnp.asarray(np.asarray(poses, np.float32)),
+        points=jnp.asarray(points.astype(np.float32)),
+        obs_k=jnp.asarray(np.array(obs_k, np.int32)),
+        obs_l=jnp.asarray(np.array(obs_l, np.int32)),
+        obs_p=jnp.asarray(np.stack(obs_p).astype(np.float32)),
+        obs_w=jnp.asarray(w),
+    )
+    return prob, n_obs
+
+
+def refine_with_ba(odo, iters: int = 6, voxel: float = 1.5,
+                   gate: float = 1.0, mesh=None) -> np.ndarray:
+    """Run landmark BA over a LidarOdometry's keyframes; updates poses.
+
+    ``mesh`` switches to the distributed solver (observations sharded,
+    psum-combined normal equations).
+    """
+    keyframe_obs = []
+    for f in odo._frames:
+        pts = np.asarray(f["obst"])[np.asarray(f["obst_valid"])]
+        keyframe_obs.append(extract_observations(pts, voxel=voxel))
+    prob, n_obs = build_ba_problem(
+        np.stack(odo.poses), keyframe_obs, gate=gate,
+        pad_multiple=(mesh.devices.size if mesh is not None else 8),
+    )
+    if n_obs == 0:
+        return np.stack(odo.poses)
+    if mesh is None:
+        from .ba import bundle_adjust
+
+        out = bundle_adjust(prob, iters=iters)
+    else:
+        from .ba import bundle_adjust_sharded
+
+        out = bundle_adjust_sharded(prob, mesh, iters=iters)
+    poses = np.asarray(out.poses)
+    odo.poses = [p for p in poses]
+    return poses

@@ -104,3 +104,65 @@ class TestBA:
             np.asarray(out_s.poses), np.asarray(out_1.poses), atol=5e-3
         )
         assert pose_err(out_s.poses, gt_poses) < 0.05
+
+
+class TestLandmarkBA:
+    def make_odo(self, frames=5, seed=8):
+        from patchwork_tpu.core.config import PatchworkConfig
+        from patchwork_tpu.io.synthetic import simulate_sequence, simulate_world
+        from patchwork_tpu.slam import LidarOdometry, OdometryConfig
+
+        world = simulate_world(seed=seed, num_pillars=60)
+        scans, gt = simulate_sequence(num_frames=frames, seed=seed, world=world,
+                                      step_xy=0.7, sensor_noise=0.01)
+        odo = LidarOdometry(
+            patchwork=PatchworkConfig(filtering_radius=80.0, max_levels=1),
+            cfg=OdometryConfig(capacity=32768, obstacle_samples=2048,
+                               ground_samples=512, icp_iters=8),
+        )
+        for i, s in enumerate(scans):
+            odo.add_scan(s, seed=i)
+        return odo, gt
+
+    def test_extract_observations(self):
+        from patchwork_tpu.slam import extract_observations
+
+        rng = np.random.default_rng(0)
+        # two tight pillar clusters + ground-level noise
+        a = np.array([5.0, 5.0, 1.5]) + rng.normal(0, 0.1, (50, 3))
+        b = np.array([-8.0, 2.0, 2.0]) + rng.normal(0, 0.1, (50, 3))
+        low = rng.uniform(-20, 20, (30, 3)); low[:, 2] = 0.05
+        obs = extract_observations(
+            np.concatenate([a, b, low]).astype(np.float32), voxel=1.5
+        )
+        assert 2 <= len(obs) <= 6
+        assert (obs[:, 2] > 0.3).all()
+
+    def test_ba_refines_trajectory(self):
+        from patchwork_tpu.slam import refine_with_ba
+        from patchwork_tpu.slam.ba import ba_residuals
+        from patchwork_tpu.slam.landmarks import build_ba_problem, extract_observations
+
+        odo, gt = self.make_odo()
+        ate_before = odo.trajectory_error(gt)
+        poses = refine_with_ba(odo, iters=6)
+        ate_after = odo.trajectory_error(gt)
+        assert poses.shape == (5, 4, 4)
+        # BA must not blow up the trajectory, and should keep it tight
+        assert ate_after < max(ate_before * 1.5, 0.15), (ate_before, ate_after)
+
+    def test_ba_problem_padding_and_tracks(self):
+        from patchwork_tpu.slam.landmarks import build_ba_problem
+
+        poses = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+        poses[1, 0, 3], poses[2, 0, 3] = 1.0, 2.0
+        lm_world = np.array([[5, 5, 2.0], [9, -3, 1.5]], np.float32)
+        obs = []
+        for k in range(3):
+            local = lm_world - poses[k][:3, 3]
+            obs.append(local.astype(np.float32))
+        prob, n_obs = build_ba_problem(poses, obs, gate=1.0)
+        assert n_obs == 6
+        assert prob.obs_w.shape[0] % 8 == 0
+        assert int(prob.obs_w.sum()) == 6
+        assert prob.points.shape[0] == 2
