@@ -156,3 +156,19 @@ class TestDeficientSeeds:
         g = np.asarray(res.ground)
         union = (g | g_o).sum()
         assert (g & g_o).sum() / max(union, 1) > 0.97
+
+
+class TestVelodyneDistribution:
+    def test_spinning_lidar_parity(self):
+        # realistic ring-structured scan with KITTI-style ground height:
+        # every point seeds (z < z_th), driving the fit loop deep -- the
+        # regime where the reference's per-patch iteration cost explodes
+        from patchwork_tpu.io.synthetic import velodyne_like_cloud
+
+        pts = velodyne_like_cloud(16384, seed=0)
+        cfg = PatchworkConfig()
+        g_o, *_ = filter_ground_oracle(pts, cfg)
+        res = make_filter_ground(cfg)(jnp.asarray(pts), jnp.ones(len(pts), bool))
+        np.testing.assert_array_equal(np.asarray(res.ground), g_o)
+        # sensible segmentation: most beams are ground returns
+        assert g_o.sum() > 0.6 * len(pts)
