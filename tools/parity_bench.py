@@ -46,7 +46,7 @@ def main():
     tr = jax.jit(lambda p: transform_4x4(p, jnp.asarray(t)))
     ego = jax.jit(lambda p: ego_mask(p, 2.5))
     for name, fn in [("rotate_2d", rot), ("transform_4x4", tr), ("ego_mask", ego)]:
-        out = fn(cube)
+        np.asarray(fn(cube))  # warmup + sync (compile outside timed region)
         t0 = time.perf_counter()
         for _ in range(args.reps):
             out = fn(cube)
