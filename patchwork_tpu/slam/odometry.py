@@ -36,6 +36,7 @@ class OdometryConfig:
     ground_samples: int = 1024     # ground-plane constraint points
     icp_iters: int = 12
     max_corr_dist: float = 2.0
+    coarse_factor: float = 8.0   # initial ICP gate = coarse_factor * max_corr_dist
     keyframe_every: int = 1        # keyframe cadence (frames)
     edge_info_trans: float = 100.0  # odometry edge information (1/sigma^2)
     edge_info_rot: float = 400.0
@@ -81,6 +82,7 @@ class LidarOdometry:
                 src["obst"], src["obst_valid"], src["ground"], src["ground_valid"],
                 tgt["obst"], tgt["obst_valid"], tgt["ground"], tgt["ground_valid"],
                 init=init, iters=c.icp_iters, max_corr_dist=c.max_corr_dist,
+                coarse_factor=c.coarse_factor,
             )
 
         self._extract = extract
@@ -112,16 +114,25 @@ class LidarOdometry:
             self.poses.append(np.eye(4, dtype=np.float32))
             self._frame_counter = 0
             self.current_pose = self.poses[-1]
+            self._last_delta = np.eye(4, dtype=np.float32)
             return self.poses[-1]
 
         prev = self._frames[-1]
-        # init from the last inter-frame estimate relative to the keyframe
+        # constant-velocity warm start: predict this frame's pose from the
+        # last inter-frame motion, express relative to the keyframe.  This
+        # keeps turning sequences inside the ICP correspondence gate (a
+        # rotation displaces far structure by r*theta, far beyond
+        # max_corr_dist without a prediction).
+        predicted = self.current_pose @ self._last_delta
         init = jnp.asarray(
-            np.linalg.inv(self.poses[-1]) @ self.current_pose, jnp.float32
+            np.linalg.inv(self.poses[-1]) @ predicted, jnp.float32
         )
         res = self._match(frame, prev, init)
         T_key_cur = np.asarray(res.transform)
         pose = (self.poses[-1] @ T_key_cur).astype(np.float32)
+        self._last_delta = (
+            np.linalg.inv(self.current_pose) @ pose
+        ).astype(np.float32)
         self.current_pose = pose
 
         self._frame_counter += 1
@@ -140,6 +151,49 @@ class LidarOdometry:
         T_ij = np.asarray(res.transform)
         self.edges.append((i, j, T_ij))
         return T_ij
+
+    def detect_loop_closures(
+        self,
+        radius: float = 5.0,
+        min_separation: int = 4,
+        max_rmse: float = 0.5,
+        min_inliers: int = 200,
+        max_candidates: int = 10,
+    ) -> List[tuple]:
+        """Find and verify loop closures automatically.
+
+        Candidates: keyframe pairs whose estimated positions lie within
+        ``radius`` but are at least ``min_separation`` keyframes apart
+        (revisited places).  Each candidate is verified by ICP from the
+        relative-pose initial guess; edges are added only when the match
+        clears the inlier-count and RMSE gates.  Returns the accepted
+        (i, j) pairs.
+        """
+        if len(self.poses) < min_separation + 2:
+            return []
+        pos = np.stack(self.poses)[:, :3, 3]
+        d = np.linalg.norm(pos[:, None, :] - pos[None, :, :], axis=-1)
+        k = len(pos)
+        ii, jj = np.triu_indices(k, k=min_separation)
+        near = d[ii, jj] < radius
+        order = np.argsort(d[ii, jj][near])
+        cand = list(zip(ii[near][order], jj[near][order]))[:max_candidates]
+
+        accepted = []
+        existing = {(a, b) for a, b, _ in self.edges}
+        for i, j in cand:
+            i, j = int(i), int(j)
+            if (i, j) in existing:
+                continue
+            init = jnp.asarray(
+                np.linalg.inv(self.poses[i]) @ self.poses[j], jnp.float32
+            )
+            res = self._match(self._frames[j], self._frames[i], init)
+            if (int(res.num_inliers) >= min_inliers
+                    and float(res.rmse) <= max_rmse):
+                self.edges.append((i, j, np.asarray(res.transform)))
+                accepted.append((i, j))
+        return accepted
 
     def build_graph(self) -> PoseGraph:
         c = self.cfg

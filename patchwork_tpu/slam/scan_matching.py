@@ -64,8 +64,16 @@ def icp_ground_constrained(
     iters: int = 12,
     max_corr_dist: float = 2.0,
     ground_weight: float = 1.0,
+    coarse_factor: float = 8.0,
 ) -> MatchResult:
-    """Estimate T such that T . src ~= tgt."""
+    """Estimate T such that T . src ~= tgt.
+
+    Coarse-to-fine: the correspondence gate anneals geometrically from
+    ``coarse_factor * max_corr_dist`` down to ``max_corr_dist`` over the
+    iterations, so large initial rotations (which displace far structure
+    by r*theta) still find correspondences early, while the final
+    iterations reject outliers tightly.
+    """
     if init is None:
         init = jnp.eye(4, dtype=_F32)
 
@@ -73,13 +81,18 @@ def icp_ground_constrained(
     g_c, g_n, _, g_cnt = fit_plane_masked(tgt_ground, tgt_ground_valid)
     use_ground = g_cnt >= 3
 
-    max_d2 = _F32(max_corr_dist * max_corr_dist)
+    anneal = jnp.asarray(
+        max_corr_dist
+        * (coarse_factor ** (1.0 - jnp.arange(iters, dtype=_F32)
+                             / max(iters - 1, 1))),
+        _F32,
+    )  # coarse_factor*d ... d
 
-    def gn_step(T, _):
+    def gn_step(T, gate):
         p = se3_apply(T, src_obst)
         nn_idx, nn_d2 = nearest_neighbors(p, tgt_obst, tgt_obst_valid)
         q = tgt_obst[nn_idx]
-        w_obst = (src_obst_valid & (nn_d2 < max_d2)).astype(_F32)
+        w_obst = (src_obst_valid & (nn_d2 < gate * gate)).astype(_F32)
 
         pg = se3_apply(T, src_ground)
         w_ground = src_ground_valid.astype(_F32) * use_ground.astype(_F32) * _F32(
@@ -112,5 +125,5 @@ def icp_ground_constrained(
         )
         return T_new, (n_in, rmse)
 
-    T, (n_in, rmse) = jax.lax.scan(gn_step, init, None, length=iters)
+    T, (n_in, rmse) = jax.lax.scan(gn_step, init, anneal)
     return MatchResult(transform=T, num_inliers=n_in[-1], rmse=rmse[-1])

@@ -239,3 +239,44 @@ class TestOdometry:
         # live pose still tracks ground truth
         d = pose[:3, 3] - gt[-1][:3, 3]
         assert np.linalg.norm(d) < 0.2
+
+    def test_automatic_loop_closure_detection(self):
+        """Drive a circular loop (small per-frame motion, as a real frame
+        rate gives): the detector must find the revisit, verify it by ICP,
+        and graph optimization must keep the trajectory tight."""
+        world = simulate_world(seed=12, num_pillars=70)
+        import numpy as _np
+        scans, gt = [], []
+        pose = _np.eye(4, dtype=_np.float32)
+        k = 20
+        steps = [(0.8, 2 * _np.pi / k)] * k  # closes after k frames
+        rng = _np.random.default_rng(12)
+        for fwd, yaw in steps:
+            inv = _np.linalg.inv(pose).astype(_np.float32)
+            local = world @ inv[:3, :3].T + inv[:3, 3]
+            local = local + rng.normal(0, 0.01, local.shape).astype(_np.float32)
+            scans.append(local.astype(_np.float32))
+            gt.append(pose.copy())
+            c, s = _np.cos(yaw), _np.sin(yaw)
+            step = _np.eye(4, dtype=_np.float32)
+            step[:3, :3] = _np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]],
+                                     _np.float32)
+            step[0, 3] = fwd
+            pose = (pose @ step).astype(_np.float32)
+        gt = _np.stack(gt)
+
+        odo = LidarOdometry(
+            patchwork=PatchworkConfig(filtering_radius=80.0, max_levels=1),
+            cfg=OdometryConfig(capacity=32768, obstacle_samples=1024,
+                               ground_samples=512, icp_iters=12),
+        )
+        for i, s in enumerate(scans):
+            odo.add_scan(s, seed=i)
+        ate_odo = odo.trajectory_error(gt)
+        accepted = odo.detect_loop_closures(radius=2.0, min_separation=10,
+                                            min_inliers=100)
+        assert accepted, "no loop closures detected on a closed loop"
+        odo.optimize(iters=8)
+        ate_opt = odo.trajectory_error(gt)
+        assert ate_opt < 0.35, (ate_odo, ate_opt)
+        assert ate_opt < ate_odo * 0.6  # closures must actually correct drift
