@@ -206,7 +206,6 @@ def main(argv=None) -> int:
 
     from .api import RecursivePatchwork
     from .viz.bev import (
-        bev_enhanced_image,
         bev_ground_nonground_image,
         bev_height_image,
         save_png,

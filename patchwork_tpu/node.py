@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from .core.config import PatchworkConfig
-from .core.timing import StageTimes, sync
+from .core.timing import StageTimes
 from .segment.engine import filter_ground
 
 __all__ = ["NodeParams", "FrameResult", "PatchworkNode", "run_stream"]

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..core.config import PatchworkConfig
 from ..segment.engine import filter_ground
-from .mesh import replicated, scan_batch_sharding
+from .mesh import scan_batch_sharding
 
 __all__ = ["make_sharded_filter_ground", "make_sharded_pipeline"]
 

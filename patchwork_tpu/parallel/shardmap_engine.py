@@ -19,8 +19,6 @@ the virtual 8-device CPU mesh (tests/test_shardmap.py).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P

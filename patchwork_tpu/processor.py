@@ -14,7 +14,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .ops.geometry import eigh3x3, masked_centroid, masked_covariance
+from .ops.geometry import masked_centroid, masked_covariance
 from .ops.pointcloud import (
     distance_band_mask,
     finite_mask,

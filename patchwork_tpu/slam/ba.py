@@ -155,7 +155,7 @@ def bundle_adjust_sharded(
     mesh axis, the reduced solve is replicated.  Observation count must be
     divisible by the axis size (pad with obs_w = 0).
     """
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
     k = prob.poses.shape[0]
     l = prob.points.shape[0]

@@ -24,7 +24,6 @@ from ..ops.sampling import random_subsample_mask
 from ..segment.engine import filter_ground
 from .pose_graph import PoseGraph, ate_rmse, optimize_pose_graph
 from .scan_matching import icp_ground_constrained
-from .se3 import se3_inverse
 
 __all__ = ["OdometryConfig", "LidarOdometry"]
 

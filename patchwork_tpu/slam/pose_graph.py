@@ -19,7 +19,7 @@ built per BASELINE.json configs[4].
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

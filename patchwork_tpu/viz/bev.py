@@ -22,7 +22,6 @@ visualization.cpp:60-78) by scattering classes in order.
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 __all__ = [
