@@ -258,3 +258,14 @@ class TestVisualizationClass:
         viz.draw_points(img, np.zeros((1, 3), np.float32), (255, 0, 0),
                         point_size=3.0)
         assert (img[:, :, 0] == 255).sum() >= 9  # a filled disk, not 1 px
+
+    def test_process_single_frame(self):
+        node = PatchworkNode(
+            NodeParams(),
+            config=PatchworkConfig(filtering_radius=50.0, max_levels=1),
+            capacity=4096,
+        )
+        res = node.process(demo_point_cloud(3000, seed=0), index=7)
+        assert res is not None and res.index == 7
+        assert res.num_ground > 0 and res.latency_s > 0
+        assert set(node.times.summary()) >= {"h2d", "engine", "d2h"}

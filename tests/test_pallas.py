@@ -94,3 +94,26 @@ class TestSegOpsPallasImpl:
             jnp.asarray(pts), jnp.ones(len(pts), bool)
         )
         np.testing.assert_array_equal(np.asarray(res.ground), g_o)
+
+    def test_engine_pallas_impl_batched_vmap(self):
+        # pallas kernels must batch correctly under vmap (interpret mode)
+        from patchwork_tpu import PatchworkConfig
+        from patchwork_tpu.io.synthetic import demo_point_cloud
+        from patchwork_tpu.segment.engine import (
+            make_filter_ground,
+            make_filter_ground_batched,
+        )
+
+        cfg = PatchworkConfig(filtering_radius=50.0, max_levels=1, num_sectors=8)
+        xyz = jnp.asarray(
+            np.stack([demo_point_cloud(1024, seed=i) for i in range(2)])
+        )
+        valid = jnp.ones((2, 1024), bool)
+        gb = np.asarray(
+            make_filter_ground_batched(cfg, impl="pallas")(xyz, valid).ground
+        )
+        single = make_filter_ground(cfg, impl="scatter")
+        for i in range(2):
+            np.testing.assert_array_equal(
+                gb[i], np.asarray(single(xyz[i], valid[i]).ground)
+            )
