@@ -70,8 +70,11 @@ def make_shardmap_patchwork(cfg: PatchworkConfig, mesh, idx_offset_fn=None):
 
     def one_scan(xyz, valid, shard_start):
         """xyz (n, 3) local shard; shard_start = global index of row 0."""
-        x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
         fin = valid & finite_mask(xyz)
+        # Zero non-finite coords before any one-hot matmul (0 * NaN = NaN
+        # would poison every segment column); they are masked out by `fin`.
+        xyz = jnp.where(fin[:, None], xyz, 0.0)
+        x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
         d = distance_2d(xyz)
         ang = polar_angle(xyz)
         in_zone = fin & (d <= _F32(cfg.filtering_radius))

@@ -61,6 +61,11 @@ def assign_patches(
     """Assign each point a ring*num_sectors+sector patch id in one pass."""
     num_p = cfg.num_patches
     fin = valid & finite_mask(xyz)
+    # Zero non-finite coordinates: they are excluded from every patch by
+    # `fin` anyway, but a NaN value would otherwise poison the one-hot
+    # matmul segment reductions (0 * NaN = NaN in IEEE; the MXU 'onehot'
+    # impl multiplies every point row into every segment column).
+    xyz = jnp.where(fin[:, None], xyz, 0.0)
     d = distance_2d(xyz)
     ang = polar_angle(xyz)
     in_zone = fin & (d <= jnp.float32(cfg.filtering_radius))

@@ -348,6 +348,10 @@ def filter_ground(
     """
     impl = impl or cfg.segment_impl or default_impl()
     pa = assign_patches(xyz, valid, cfg, impl=impl)
+    # Non-finite coords are outside every patch (pa.finite), but their raw
+    # values must not reach the segment matmuls: 0 * NaN = NaN would poison
+    # every segment column of the 'onehot'/'pallas' reductions.
+    xyz = jnp.where(pa.finite[:, None], xyz, 0.0)
     num_p = cfg.num_patches
     cap_a = max(cfg.max_active_nodes, num_p)
     eff_levels = cfg.effective_levels

@@ -67,6 +67,21 @@ class TestEngineParity:
         np.testing.assert_array_equal(np.asarray(res.ground), g_o)
         assert not np.asarray(res.valid)[::97].any()
 
+    def test_nan_inf_cleaning_onehot(self):
+        # regression: 0 * NaN = NaN used to poison every segment column of
+        # the one-hot matmul reductions (the default TPU impl), zeroing the
+        # ground mask on any scan containing non-finite returns
+        pts = demo_point_cloud(5000, seed=3).copy()
+        pts[::37] = np.nan
+        pts[5] = np.inf
+        cfg = PatchworkConfig(filtering_radius=50.0)
+        g_o, *_ = filter_ground_oracle(pts, cfg)
+        res = make_filter_ground(cfg, impl="onehot")(
+            jnp.asarray(pts), jnp.ones(len(pts), bool)
+        )
+        np.testing.assert_array_equal(np.asarray(res.ground), g_o)
+        assert g_o.sum() > 0
+
     def test_tiny_cloud(self):
         assert_parity(demo_point_cloud(10, seed=5), PatchworkConfig(), min_ground=0)
 
