@@ -23,7 +23,7 @@ def main():
     ap.add_argument("--points", type=int, default=131072,
                     help="points per scan (KITTI-360 scale)")
     ap.add_argument("--batch", type=int, default=8, help="scans per step")
-    ap.add_argument("--reps", type=int, default=5, help="timed steps")
+    ap.add_argument("--reps", type=int, default=20, help="timed steps")
     ap.add_argument("--baseline-scans", type=int, default=1,
                     help="oracle scans to time for the CPU baseline")
     ap.add_argument("--skip-baseline", action="store_true")

@@ -71,8 +71,9 @@ class PatchworkConfig:
     # pathologically fragmented scenes.
     max_active_nodes_cfg: int = 0
 
-    # Segment-op backend: None = auto per platform ('onehot' MXU matmul
-    # formulation on TPU, 'scatter' elsewhere); see segment/segops.py.
+    # Segment-op backend: None = auto per platform ('fused' whole-level
+    # Pallas mega-kernel on TPU, 'onehot' MXU matmuls under GSPMD sharding,
+    # 'scatter' elsewhere); see segment/segops.py and kernels/fit_pallas.py.
     segment_impl: str | None = None
 
     def __post_init__(self) -> None:

@@ -1,0 +1,504 @@
+"""Fused Pallas TPU kernels for the iterative plane-fit loop.
+
+The engine's hot path is the per-level ``lax.while_loop`` that re-fits
+every node's plane until no point changes side (segment/engine.py
+``_fit_step``; reference semantics src/recursive_patchwork.cpp:186-217
+with the per-iteration GPU round-trip at cpp:206).  The XLA 'onehot'
+formulation spends one (N, S) one-hot matmul per segment op — 4-5 passes
+per fit iteration — and XLA materializes the one-hot in HBM, so each
+iteration moves ~5 * N * S bytes instead of ~N * 10 floats.
+
+These two kernels collapse one fit iteration into exactly two sweeps over
+the points, with the one-hot living only in VMEM, one (Sp, T) tile at a
+time:
+
+* :func:`fused_apply` — one sweep: gathers each point's node plane
+  (centroid, normal, can-update flag) via an MXU one-hot matmul, computes
+  the point-plane distance, re-thresholds the ground mask
+  (d < tau * (1 + 0.2 * rel_dist), cpp:203-212), and accumulates the NEW
+  mask's first moments [count, sum x, sum y, sum z], the OLD mask's
+  distance sum (for the residual, cpp:228), and the per-node changed
+  count — six segment reductions and one segment gather fused into two
+  MXU contractions per tile.
+* :func:`fused_moments2` — the other sweep: gathers the centroid and
+  accumulates the centered second moments [xx, xy, xz, yy, yz, zz]
+  (fitPlanePCA's covariance accumulation, cpp:86-95).
+
+Point data is packed once per level into an (8, N) float32 array
+(:func:`fit_pack`) so every tile is one aligned (8, tile) VMEM block —
+(N, 3)-style layouts waste VMEM lanes and DMA bandwidth.
+
+Differentially tested against SegOps('scatter') composition
+(tests/test_fit_pallas.py), the reference's CPU-vs-GPU oracle pattern
+(src/test_cuda.cpp:39-56).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fit_pack", "fused_apply", "fused_moments2", "sp_width",
+           "fit_level_megakernel", "megakernel_fits"]
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _interp() -> bool:
+    """Interpreter mode off-TPU (CPU tests run the same kernels)."""
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def sp_width(num_segs: int) -> int:
+    """Lane-aligned segment width: one-hot columns pad to a lane multiple."""
+    return max(128, ((num_segs + 127) // 128) * 128)
+
+
+def _pick_tile(n: int) -> int:
+    for t in (2048, 1024, 512, 256, 128):
+        if n % t == 0:
+            return t
+    return n
+
+
+def fit_pack(xyz: jax.Array, tau_pt: jax.Array, amask: jax.Array,
+             seg: jax.Array) -> jax.Array:
+    """Pack per-point data into the (8, N) row layout the kernels stream.
+
+    Rows: [x, y, z, tau, apply-mask, seg-id (exact as f32), 0, 0].
+    """
+    n = xyz.shape[0]
+    return jnp.concatenate(
+        [
+            xyz.T.astype(jnp.float32),
+            tau_pt[None, :].astype(jnp.float32),
+            amask.astype(jnp.float32)[None, :],
+            seg.astype(jnp.float32)[None, :],
+            jnp.zeros((2, n), jnp.float32),
+        ],
+        axis=0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# kernel bodies
+# ---------------------------------------------------------------------------
+
+def _apply_kernel(p_ref, g_ref, tab_ref, gout_ref, stats_ref, acc_ref, *, sp):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    p = p_ref[:]          # (8, T)
+    g_in = g_ref[:]       # (1, T) 0/1 f32
+    tab = tab_ref[:]      # (8, Sp): [cx, cy, cz, nx, ny, nz, can, 0]
+
+    x, y, z = p[0:1], p[1:2], p[2:3]
+    tau, am, segf = p[3:4], p[4:5], p[5:6]
+
+    ids = jax.lax.broadcasted_iota(jnp.int32, (sp, 1), 0).astype(jnp.float32)
+    oht = (ids == segf).astype(jnp.float32)          # (Sp, T)
+
+    gat = jax.lax.dot_general(                        # (8, T) per-point plane
+        tab, oht, (((1,), (0,)), ((), ())),
+        precision=_HIGHEST, preferred_element_type=jnp.float32,
+    )
+    dx, dy, dz = x - gat[0:1], y - gat[1:2], z - gat[2:3]
+    dist = jnp.abs(dx * gat[3:4] + dy * gat[4:5] + dz * gat[5:6])
+    apply_m = am * gat[6:7]                           # both exact 0/1
+    new_g = (dist < tau).astype(jnp.float32)
+    g_out = apply_m * new_g + (1.0 - apply_m) * g_in
+    changed = apply_m * jnp.abs(new_g - g_in)
+
+    gout_ref[:] = g_out
+
+    prod = jnp.concatenate(
+        [g_out, x * g_out, y * g_out, z * g_out, dist * g_in, changed,
+         jnp.zeros_like(g_out), jnp.zeros_like(g_out)],
+        axis=0,
+    )                                                 # (8, T)
+    acc_ref[:] += jax.lax.dot_general(                # (8, Sp)
+        prod, oht, (((1,), (1,)), ((), ())),
+        precision=_HIGHEST, preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        stats_ref[:] = acc_ref[:]
+
+
+def _moments2_kernel(p_ref, g_ref, ctab_ref, out_ref, acc_ref, *, sp):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    p = p_ref[:]
+    g = g_ref[:]          # (1, T)
+    ctab = ctab_ref[:]    # (8, Sp): [cx, cy, cz, 0...]
+
+    x, y, z, segf = p[0:1], p[1:2], p[2:3], p[5:6]
+    ids = jax.lax.broadcasted_iota(jnp.int32, (sp, 1), 0).astype(jnp.float32)
+    oht = (ids == segf).astype(jnp.float32)           # (Sp, T)
+
+    cg = jax.lax.dot_general(
+        ctab, oht, (((1,), (0,)), ((), ())),
+        precision=_HIGHEST, preferred_element_type=jnp.float32,
+    )
+    dx = (x - cg[0:1]) * g
+    dy = (y - cg[1:2]) * g
+    dz = (z - cg[2:3]) * g
+    prod = jnp.concatenate(
+        [dx * dx, dx * dy, dx * dz, dy * dy, dy * dz, dz * dz,
+         jnp.zeros_like(dx), jnp.zeros_like(dx)],
+        axis=0,
+    )
+    acc_ref[:] += jax.lax.dot_general(
+        prod, oht, (((1,), (1,)), ((), ())),
+        precision=_HIGHEST, preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+# ---------------------------------------------------------------------------
+# wrappers
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("num_segs", "tile"))
+def fused_apply(p: jax.Array, g: jax.Array, table_t: jax.Array,
+                num_segs: int, tile: int | None = None):
+    """One fused apply-and-accumulate sweep.
+
+    p: (8, N) packed points (:func:`fit_pack`); g: (1, N) 0/1 f32 current
+    ground mask; table_t: (8, Sp) rows [cx, cy, cz, nx, ny, nz, can, 0]
+    (Sp = :func:`sp_width`; can=0 everywhere turns the sweep into a pure
+    moments/distsum pass that leaves the mask unchanged).
+
+    Returns (g_out (1, N) f32, stats (8, Sp) f32) with stats rows
+    [count, sum x, sum y, sum z (of g_out); dist sum (of g_in);
+    changed count; 0; 0].
+    """
+    n = p.shape[1]
+    sp = table_t.shape[1]
+    tile = tile or _pick_tile(n)
+    grid = n // tile
+    g_out, stats = pl.pallas_call(
+        functools.partial(_apply_kernel, sp=sp),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, sp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, sp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((8, sp), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((8, sp), jnp.float32)],
+        interpret=_interp(),
+    )(p, g, table_t)
+    return g_out, stats
+
+
+@functools.partial(jax.jit, static_argnames=("num_segs", "tile"))
+def fused_moments2(p: jax.Array, g: jax.Array, ctab_t: jax.Array,
+                   num_segs: int, tile: int | None = None) -> jax.Array:
+    """Centered second moments per segment, one sweep.
+
+    ctab_t: (8, Sp) rows [cx, cy, cz, 0...].  Returns (8, Sp) rows
+    [xx, xy, xz, yy, yz, zz, 0, 0] of d = (p - centroid) * g.
+    """
+    n = p.shape[1]
+    sp = ctab_t.shape[1]
+    tile = tile or _pick_tile(n)
+    grid = n // tile
+    return pl.pallas_call(
+        functools.partial(_moments2_kernel, sp=sp),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, sp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, sp), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, sp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, sp), jnp.float32)],
+        interpret=_interp(),
+    )(p, g, ctab_t)
+
+
+# ---------------------------------------------------------------------------
+# whole-level mega-kernel: the full fit while_loop in ONE pallas call
+# ---------------------------------------------------------------------------
+#
+# Motivation (measured on the v5e): per-pallas-call / per-grid-step dispatch
+# overhead dominates small kernels, and the XLA 'onehot' fit iteration is
+# bound by re-reading its HBM-materialized (N, S) one-hot (~33 MB) five
+# times per iteration.  At KITTI scale the ENTIRE packed cloud fits in VMEM
+# (8 * N * 4 B = 4.2 MB at N=131072), so this kernel loads it once and runs
+# the complete convergence loop on-chip: per iteration two sweeps over
+# VMEM-resident tiles, zero HBM traffic, one kernel launch per level.
+# One-hot contractions run as bf16 matmuls with an exact 3-term bf16
+# split of the f32 operand (the one-hot itself is exact in bf16), which
+# measured 2.2x faster than f32 HIGHEST matmuls for the same results.
+
+_EPS = 1e-12
+_TWO_PI_3 = 2.0943951023931953
+
+
+def _split3(x):
+    """Exact 3-term bf16 decomposition of f32 (24 = 3 x 8 mantissa bits)."""
+    h = x.astype(jnp.bfloat16)
+    r = x - h.astype(jnp.float32)
+    m = r.astype(jnp.bfloat16)
+    l = (r - m.astype(jnp.float32)).astype(jnp.bfloat16)
+    return h, m, l
+
+
+def _dot3(a_parts, b, dims):
+    """Sum of bf16 dot_generals: exact f32-operand contraction vs a one-hot."""
+    out = None
+    for a in a_parts:
+        d = jax.lax.dot_general(a, b, (dims, ((), ())),
+                                preferred_element_type=jnp.float32)
+        out = d if out is None else out + d
+    return out
+
+
+def _acos(x):
+    """Elementwise arccos from Mosaic-supported primitives only.
+
+    Mosaic has no acos lowering; this is the classic Cephes ``asinf``
+    reduction (|t| <= 0.5 polynomial + half-angle identity), accurate to
+    ~1 ulp in f32 over [-1, 1] — used for the eigenvalue trig formula.
+    """
+    a = jnp.abs(x)
+    big = a > 0.5
+    # asin polynomial argument: t = a (small branch) or sqrt((1-a)/2)
+    z_big = (1.0 - a) * 0.5
+    t = jnp.where(big, jnp.sqrt(z_big), a)
+    z = jnp.where(big, z_big, a * a)
+    p = (((4.2163199048e-2 * z + 2.4181311049e-2) * z + 4.5470025998e-2)
+         * z + 7.4953002686e-2) * z + 1.6666752422e-1
+    asin_t = t + t * z * p
+    acos_a = jnp.where(big, 2.0 * asin_t,
+                       jnp.float32(1.5707963267948966) - asin_t)
+    return jnp.where(x < 0, jnp.float32(3.141592653589793) - acos_a, acos_a)
+
+
+def _plane_rows(m2, gcnt):
+    """Row-form port of segment/engine._cov_normal + ops/geometry.eigh3x3.
+
+    m2: (8, Sp) rows [xx, xy, xz, yy, yz, zz, *, *] centered second-moment
+    sums; gcnt: (1, Sp).  Returns (3, Sp) unit normals flipped to +Z
+    (fitPlanePCA, src/recursive_patchwork.cpp:86-95).  Pure VPU math, runs
+    inside the kernel.  The expression tree mirrors ops/geometry.py
+    term-for-term so results track the XLA path.
+    """
+    denom = jnp.maximum(gcnt - 1.0, 1.0)
+    a00, a01, a02 = m2[0:1] / denom, m2[1:2] / denom, m2[2:3] / denom
+    a11, a12, a22 = m2[3:4] / denom, m2[4:5] / denom, m2[5:6] / denom
+
+    # eigvals3x3 (Smith 1961), smallest eigenvalue only
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    q = (a00 + a11 + a22) / 3.0
+    d0, d1, d2 = a00 - q, a11 - q, a22 - q
+    p2 = d0 * d0 + d1 * d1 + d2 * d2 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 0.0))
+    safe_p = jnp.maximum(p, _EPS)
+    b00, b11, b22 = d0 / safe_p, d1 / safe_p, d2 / safe_p
+    b01, b02, b12 = a01 / safe_p, a02 / safe_p, a12 / safe_p
+    detb = (b00 * (b11 * b22 - b12 * b12)
+            - b01 * (b01 * b22 - b12 * b02)
+            + b02 * (b01 * b12 - b11 * b02))
+    r = jnp.clip(detb / 2.0, -1.0, 1.0)
+    phi = _acos(r) / 3.0
+    e_hi = q + 2.0 * p * jnp.cos(phi)
+    e_lo = q + 2.0 * p * jnp.cos(phi + jnp.float32(_TWO_PI_3))
+    diag_min = jnp.minimum(a00, jnp.minimum(a11, a22))
+    e_min = jnp.where(p <= _EPS, diag_min, e_lo)
+
+    # smallest_eigenvector3x3: largest cross product of rows of (A - e I)
+    r0x, r0y, r0z = a00 - e_min, a01, a02
+    r1x, r1y, r1z = a01, a11 - e_min, a12
+    r2x, r2y, r2z = a02, a12, a22 - e_min
+
+    c0x = r0y * r1z - r0z * r1y
+    c0y = r0z * r1x - r0x * r1z
+    c0z = r0x * r1y - r0y * r1x
+    c1x = r0y * r2z - r0z * r2y
+    c1y = r0z * r2x - r0x * r2z
+    c1z = r0x * r2y - r0y * r2x
+    c2x = r1y * r2z - r1z * r2y
+    c2y = r1z * r2x - r1x * r2z
+    c2z = r1x * r2y - r1y * r2x
+
+    n0 = jnp.sqrt(c0x * c0x + c0y * c0y + c0z * c0z)
+    n1 = jnp.sqrt(c1x * c1x + c1y * c1y + c1z * c1z)
+    n2 = jnp.sqrt(c2x * c2x + c2y * c2y + c2z * c2z)
+    sel0 = (n0 >= n1) & (n0 >= n2)   # argmax first-max tiebreak
+    sel1 = (~sel0) & (n1 >= n2)
+    vx = jnp.where(sel0, c0x, jnp.where(sel1, c1x, c2x))
+    vy = jnp.where(sel0, c0y, jnp.where(sel1, c1y, c2y))
+    vz = jnp.where(sel0, c0z, jnp.where(sel1, c1z, c2z))
+    nn = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+    ok = nn > 1e-20
+    sn = jnp.maximum(nn, 1e-30)
+    vx = jnp.where(ok, vx / sn, 0.0)
+    vy = jnp.where(ok, vy / sn, 0.0)
+    vz = jnp.where(ok, vz / sn, 1.0)   # degenerate fallback +Z
+
+    flip = vz < 0
+    vx = jnp.where(flip, -vx, vx)
+    vy = jnp.where(flip, -vy, vy)
+    vz = jnp.where(flip, -vz, vz)
+    return jnp.concatenate([vx, vy, vz], axis=0)   # (3, Sp)
+
+
+def _mega_kernel(p_ref, g_ref, gout_ref, stats_ref, *, sp, tile, max_iter):
+    n = p_ref.shape[1]
+    ntiles = n // tile
+    gout_ref[:] = g_ref[:]
+
+    def sweep(tab):
+        """One pass over all tiles with the (8, Sp) plane table
+        [cx, cy, cz, nx, ny, nz, can, 0]: gather the point's plane, apply
+        the re-threshold where allowed, write the mask, and accumulate
+        (8, Sp) stats [cnt, sx, sy, sz, distsum(old mask), changed, 0, 0].
+        With can = 0 the mask is untouched and the sweep reduces to a
+        moments/distsum pass (used for init and the final residual)."""
+        tparts = _split3(tab)
+
+        def body(t, acc):
+            sl = pl.ds(t * tile, tile)
+            p = p_ref[:, sl]
+            g = gout_ref[:, sl]
+            ids = jax.lax.broadcasted_iota(
+                jnp.int32, (sp, 1), 0).astype(jnp.float32)
+            oht = (ids == p[5:6]).astype(jnp.bfloat16)       # (Sp, T)
+            gat = _dot3(tparts, oht, ((1,), (0,)))           # (8, T) exact
+            dx, dy, dz = p[0:1] - gat[0:1], p[1:2] - gat[1:2], p[2:3] - gat[2:3]
+            dist = jnp.abs(dx * gat[3:4] + dy * gat[4:5] + dz * gat[5:6])
+            apply_m = p[4:5] * gat[6:7]
+            new_g = (dist < p[3:4]).astype(jnp.float32)
+            g2 = apply_m * new_g + (1.0 - apply_m) * g
+            gout_ref[:, sl] = g2
+            prod = jnp.concatenate(
+                [g2, p[0:1] * g2, p[1:2] * g2, p[2:3] * g2,
+                 dist * g, apply_m * jnp.abs(new_g - g),
+                 jnp.zeros_like(g2), jnp.zeros_like(g2)], axis=0)
+            return acc + _dot3(_split3(prod), oht, ((1,), (1,)))
+
+        return jax.lax.fori_loop(0, ntiles, body,
+                                 jnp.zeros((8, sp), jnp.float32))
+
+    def m2_sweep(ctab):
+        """Centered second moments of the current mask (two-pass form,
+        bit-compatible with the reference's covariance accumulation)."""
+        cparts = _split3(ctab)
+
+        def body(t, acc):
+            sl = pl.ds(t * tile, tile)
+            p = p_ref[:, sl]
+            g = gout_ref[:, sl]
+            ids = jax.lax.broadcasted_iota(
+                jnp.int32, (sp, 1), 0).astype(jnp.float32)
+            oht = (ids == p[5:6]).astype(jnp.bfloat16)
+            cg = _dot3(cparts, oht, ((1,), (0,)))
+            dx = (p[0:1] - cg[0:1]) * g
+            dy = (p[1:2] - cg[1:2]) * g
+            dz = (p[2:3] - cg[2:3]) * g
+            prod = jnp.concatenate(
+                [dx * dx, dx * dy, dx * dz, dy * dy, dy * dz, dz * dz,
+                 jnp.zeros_like(dx), jnp.zeros_like(dx)], axis=0)
+            return acc + _dot3(_split3(prod), oht, ((1,), (1,)))
+
+        return jax.lax.fori_loop(0, ntiles, body,
+                                 jnp.zeros((8, sp), jnp.float32))
+
+    zeros8 = jnp.zeros((8, sp), jnp.float32)
+    m1_0 = sweep(zeros8)   # moments of the seeded mask, mask unchanged
+
+    def make_tab(m1, with_can):
+        gcnt = m1[0:1]
+        c = m1[1:4] / jnp.maximum(gcnt, 1.0)
+        ctab = jnp.concatenate([c, jnp.zeros((5, sp), jnp.float32)], axis=0)
+        m2 = m2_sweep(ctab)
+        normal = _plane_rows(m2, gcnt)
+        can = (gcnt >= 3.0).astype(jnp.float32) if with_can \
+            else jnp.zeros((1, sp), jnp.float32)
+        return jnp.concatenate(
+            [c, normal, can, jnp.zeros((1, sp), jnp.float32)], axis=0)
+
+    def cond(st):
+        _, changed, it = st
+        return changed & (it < max_iter)
+
+    def body(st):
+        m1, _, it = st
+        tab = make_tab(m1, True)
+        m1_next = sweep(tab)
+        return m1_next, jnp.sum(m1_next[5:6]) > 0.0, it + 1
+
+    m1, _, _ = jax.lax.while_loop(cond, body, (m1_0, True, jnp.int32(0)))
+
+    # final fit of the converged mask: can=0 -> pure distance-sum sweep
+    tab = make_tab(m1, False)
+    stats_ref[:] = sweep(tab)
+
+
+def megakernel_fits(n_padded: int, sp: int) -> bool:
+    """Whole-cloud-in-VMEM feasibility (conservative 10 MB budget)."""
+    point_bytes = (8 + 3) * 4 * n_padded          # packed rows + in/out masks
+    onehot_bytes = 2 * sp * 4096 * 2              # (Sp, T) bf16, double-ish
+    return point_bytes + onehot_bytes + 64 * sp * 4 < 10 * 1024 * 1024
+
+
+@functools.partial(jax.jit, static_argnames=("num_segs", "max_iter", "tile"))
+def fit_level_megakernel(p: jax.Array, g0: jax.Array, num_segs: int,
+                         max_iter: int, tile: int | None = None):
+    """Run one level's complete fit loop in a single kernel launch.
+
+    p: (8, N) packed points (:func:`fit_pack`), N a multiple of the tile;
+    g0: (1, N) seeded 0/1 mask.  Returns (g (1, N) f32 converged mask,
+    stats (8, Sp) f32 rows [cnt, sx, sy, sz, distsum, changed, 0, 0] of the
+    final fit).
+    """
+    n = p.shape[1]
+    sp = sp_width(num_segs)
+    if tile is None:
+        tile = next(t for t in (4096, 2048, 1024, 512, 256, 128) if n % t == 0)
+    return pl.pallas_call(
+        functools.partial(_mega_kernel, sp=sp, tile=tile, max_iter=max_iter),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((8, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, sp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((8, sp), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interp(),
+    )(p, g0)

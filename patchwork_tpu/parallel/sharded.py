@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ..core.config import PatchworkConfig
 from ..segment.engine import filter_ground
+from ..segment.segops import default_impl
 from .mesh import scan_batch_sharding
 
 __all__ = ["make_sharded_filter_ground", "make_sharded_pipeline"]
@@ -31,13 +32,18 @@ def make_sharded_filter_ground(
     """
     xyz_s, valid_s = scan_batch_sharding(mesh, shard_points)
 
+    # GSPMD partitions XLA ops only: force the pure-XLA segment impl (the
+    # 'fused' pallas path cannot be auto-sharded over the point axis)
+    impl = cfg.segment_impl or default_impl(gspmd=True)
+
     @functools.partial(
         jax.jit,
         in_shardings=(xyz_s, valid_s),
         out_shardings=valid_s,
     )
     def fn(xyz, valid):
-        return jax.vmap(lambda p, v: filter_ground(p, v, cfg))(xyz, valid)
+        return jax.vmap(lambda p, v: filter_ground(p, v, cfg, impl=impl))(
+            xyz, valid)
 
     return fn
 
@@ -50,10 +56,12 @@ def make_sharded_pipeline(cfg: PatchworkConfig, mesh, shard_points: bool = True)
     reduces on device so only (B, 2) ints cross to the host.
     """
     xyz_s, valid_s = scan_batch_sharding(mesh, shard_points)
+    impl = cfg.segment_impl or default_impl(gspmd=True)
 
     @functools.partial(jax.jit, in_shardings=(xyz_s, valid_s))
     def fn(xyz, valid):
-        res = jax.vmap(lambda p, v: filter_ground(p, v, cfg))(xyz, valid)
+        res = jax.vmap(lambda p, v: filter_ground(p, v, cfg, impl=impl))(
+            xyz, valid)
         ground_cnt = jnp.sum(res.ground, axis=-1, dtype=jnp.int32)
         nong_cnt = jnp.sum(res.valid & ~res.ground, axis=-1, dtype=jnp.int32)
         return res, ground_cnt, nong_cnt

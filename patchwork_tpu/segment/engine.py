@@ -103,6 +103,87 @@ def _fit_step(ops: SegOps, xyz, gmask):
     return gcnt, dist
 
 
+def _fused_fit_resid(cfg, xyz, seg, tau_pt, active, fit_pt, ground, num_segs):
+    """The fit while_loop + final residual via the fused Pallas kernels.
+
+    Bit-for-bit the same iteration structure as the generic path below
+    (seeded mask -> {fit plane, re-threshold} until fixpoint, cpp:186-228)
+    but each iteration is exactly two VMEM-resident sweeps over the points
+    (kernels/fit_pallas.py) instead of 4-5 HBM-materialized one-hot
+    matmul passes.
+
+    Returns (ground (N,) bool, gcnt (S,) f32, resid (S,) f32-with-inf).
+    """
+    from ..kernels.fit_pallas import (
+        fit_level_megakernel, fit_pack, fused_apply, fused_moments2,
+        megakernel_fits, sp_width,
+    )
+
+    n = xyz.shape[0]
+    sp = sp_width(num_segs)
+    amask = (active & fit_pt).astype(_F32)
+    p = fit_pack(xyz, tau_pt, amask, seg)
+    g0 = ground.astype(_F32)[None, :]
+    # pad the point axis to a tile multiple; padded columns have
+    # apply-mask 0 and g 0, so they contribute nothing to any segment
+    n_pad = (-n) % 128
+    if n_pad:
+        p = jnp.pad(p, ((0, 0), (0, n_pad)))
+        g0 = jnp.pad(g0, ((0, 0), (0, n_pad)))
+
+    if megakernel_fits(n + n_pad, sp):
+        # whole cloud resident in VMEM: the complete convergence loop is
+        # ONE kernel launch (kernels/fit_pallas.py _mega_kernel)
+        g, stats = fit_level_megakernel(p, g0, num_segs, cfg.max_iter)
+        gcnt = stats[0]
+        resid = stats[4] / jnp.maximum(gcnt, 1.0)
+        resid = jnp.where(gcnt >= 3.0, resid, _INF)
+        return g[0, :n] > 0.5, gcnt[:num_segs], resid[:num_segs]
+
+    def _ctab(stats):
+        gcnt = stats[0]
+        c = stats[1:4] / jnp.maximum(gcnt, 1.0)[None, :]
+        return jnp.concatenate([c, jnp.zeros((5, sp), _F32)], axis=0), gcnt
+
+    def _plane(g, stats):
+        ctab, gcnt = _ctab(stats)
+        m2 = fused_moments2(p, g, ctab, num_segs)
+        normal = _cov_normal(m2[:6].T, gcnt).T  # (3, Sp)
+        return ctab, gcnt, normal
+
+    # initial moments of the seeded mask: can=0 leaves the mask unchanged
+    _, stats0 = fused_apply(p, g0, jnp.zeros((8, sp), _F32), num_segs)
+
+    def _cond(st):
+        _, _, changed, it = st
+        return (it < cfg.max_iter) & changed
+
+    def _body(st):
+        g, stats, _, it = st
+        ctab, gcnt, normal = _plane(g, stats)
+        can = (gcnt >= 3.0).astype(_F32)
+        tab = jnp.concatenate(
+            [ctab[0:3], normal, can[None, :], jnp.zeros((1, sp), _F32)], axis=0
+        )
+        g2, stats2 = fused_apply(p, g, tab, num_segs)
+        return g2, stats2, jnp.sum(stats2[5]) > 0.0, it + 1
+
+    g, stats, _, _ = jax.lax.while_loop(
+        _cond, _body, (g0, stats0, jnp.bool_(True), jnp.int32(0))
+    )
+
+    # final fit of the converged mask -> residual (cpp:219-228); can=0 so
+    # the sweep only accumulates the distance sum
+    ctab, gcnt, normal = _plane(g, stats)
+    tab = jnp.concatenate(
+        [ctab[0:3], normal, jnp.zeros((2, sp), _F32)], axis=0
+    )
+    _, stats_f = fused_apply(p, g, tab, num_segs)
+    resid = stats_f[4] / jnp.maximum(gcnt, 1.0)
+    resid = jnp.where(gcnt >= 3.0, resid, _INF)
+    return g[0, :n] > 0.5, gcnt[:num_segs], resid[:num_segs]
+
+
 def _level_body(cfg, impl, xyz, pa, tau_patch, zth_patch, lvl, num_segs,
                 is_level0, node, node_patch_in, done, ground):
     """Stats -> early-outs -> seeds -> iterative fit -> split flags for one
@@ -118,7 +199,7 @@ def _level_body(cfg, impl, xyz, pa, tau_patch, zth_patch, lvl, num_segs,
 
     active = pa.in_patch & ~done
     seg = jnp.where(active, node, trash)
-    ops = SegOps(seg, num_segs, impl)
+    ops = SegOps(seg, num_segs, "onehot" if impl == "fused" else impl)
 
     # level-0 node->patch map is the identity; deeper levels carry a table
     if is_level0:
@@ -229,29 +310,36 @@ def _level_body(cfg, impl, xyz, pa, tau_patch, zth_patch, lvl, num_segs,
     done = done | (active & finished_pt)
 
     # ---- batched iterative plane fitting (cpp:186-217) ----
-    def _cond(st):
-        _, any_changed, it = st
-        return (it < cfg.max_iter) & any_changed
+    if impl == "fused":
+        ground, gcnt, resid = _fused_fit_resid(
+            cfg, xyz, seg, tau_pt, active, fit_pt, ground, num_segs
+        )
+    else:
+        def _cond(st):
+            _, any_changed, it = st
+            return (it < cfg.max_iter) & any_changed
 
-    def _body(st):
-        g_mask, _, it = st
-        gcnt, dist = _fit_step(ops, xyz, g_mask & active)
-        can_pt = ops.gather((gcnt >= 3.0).astype(_F32)) > 0.5
-        new_g = dist < tau_pt
-        apply_pt = active & fit_pt & can_pt
-        changed = apply_pt & (new_g != g_mask)
-        g_next = jnp.where(apply_pt, new_g, g_mask)
-        return g_next, jnp.any(changed), it + 1
+        def _body(st):
+            g_mask, _, it = st
+            gcnt, dist = _fit_step(ops, xyz, g_mask & active)
+            can_pt = ops.gather((gcnt >= 3.0).astype(_F32)) > 0.5
+            new_g = dist < tau_pt
+            apply_pt = active & fit_pt & can_pt
+            changed = apply_pt & (new_g != g_mask)
+            g_next = jnp.where(apply_pt, new_g, g_mask)
+            return g_next, jnp.any(changed), it + 1
 
-    ground, _, _ = jax.lax.while_loop(
-        _cond, _body, (ground, jnp.bool_(True), jnp.int32(0))
-    )
+        ground, _, _ = jax.lax.while_loop(
+            _cond, _body, (ground, jnp.bool_(True), jnp.int32(0))
+        )
 
-    # ---- final fit, residual, split decision (cpp:219-235) ----
-    g_final = ground & active
-    gcnt, dist = _fit_step(ops, xyz, g_final)
-    resid = ops.sum(dist * g_final.astype(_F32)) / jnp.maximum(gcnt, 1.0)
-    resid = jnp.where(gcnt >= 3.0, resid, _INF)
+        # ---- final fit, residual (cpp:219-228) ----
+        g_final = ground & active
+        gcnt, dist = _fit_step(ops, xyz, g_final)
+        resid = ops.sum(dist * g_final.astype(_F32)) / jnp.maximum(gcnt, 1.0)
+        resid = jnp.where(gcnt >= 3.0, resid, _INF)
+
+    # ---- split decision (cpp:231-235) ----
 
     # split allowed while below both the depth cap and the level budget
     lvl_f = jnp.asarray(lvl, _F32)
@@ -288,7 +376,7 @@ def _child_remap(cfg, impl, xyz, pa, node, node_patch, done, ground, split_pad):
 
     active = pa.in_patch & ~done
     seg = jnp.where(active, node, trash)
-    ops = SegOps(seg, num_segs, impl)
+    ops = SegOps(seg, num_segs, "onehot" if impl == "fused" else impl)
     w = active.astype(_F32)
 
     cnt_i = ops.count(active)
@@ -347,7 +435,8 @@ def filter_ground(
     selects the segment-op backend (None = auto per platform).
     """
     impl = impl or cfg.segment_impl or default_impl()
-    pa = assign_patches(xyz, valid, cfg, impl=impl)
+    pa = assign_patches(xyz, valid, cfg,
+                        impl="onehot" if impl == "fused" else impl)
     # Non-finite coords are outside every patch (pa.finite), but their raw
     # values must not reach the segment matmuls: 0 * NaN = NaN would poison
     # every segment column of the 'onehot'/'pallas' reductions.

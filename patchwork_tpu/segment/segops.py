@@ -39,10 +39,19 @@ __all__ = [
 ]
 
 
-def default_impl() -> str:
-    """'onehot' on TPU-class backends, 'scatter' elsewhere (trace-time)."""
+def default_impl(gspmd: bool = False) -> str:
+    """Trace-time segment-op backend selection.
+
+    TPU: 'fused' (one-pallas-call-per-level fit loop, kernels/fit_pallas.py)
+    for single-device/vmapped execution; 'onehot' (pure-XLA MXU matmuls,
+    GSPMD-partitionable) when the caller runs under pjit with sharded
+    points, where a pallas_call cannot be auto-partitioned.  'scatter'
+    everywhere else (exact golden path).
+    """
     backend = jax.default_backend()
-    return "onehot" if backend in ("tpu", "axon") else "scatter"
+    if backend in ("tpu", "axon"):
+        return "onehot" if gspmd else "fused"
+    return "scatter"
 
 
 # ---------------------------------------------------------------------------
