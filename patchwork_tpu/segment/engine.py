@@ -184,6 +184,71 @@ def _fused_fit_resid(cfg, xyz, seg, tau_pt, active, fit_pt, ground, num_segs):
     return g[0, :n] > 0.5, gcnt[:num_segs], resid[:num_segs]
 
 
+def _level_body_megakernel(cfg, xyz, pa, tau_node, zth_node, lvl, num_segs,
+                           is_level0, node, done, ground):
+    """The whole level in ONE pallas launch (kernels/fit_pallas.py
+    level_megakernel): stats, early-outs, seeds + deficient fallback,
+    iterative fit, split decision, done/ground updates — cloud resident
+    in VMEM throughout.  Adaptive-seed configs only.
+    """
+    from ..kernels.fit_pallas import level_megakernel, sp_width
+
+    n = xyz.shape[0]
+    sp = sp_width(num_segs)
+    trash = num_segs - 1
+    active = pa.in_patch & ~done
+    seg = jnp.where(active, node, trash)
+
+    pts = jnp.concatenate(
+        [
+            xyz.T,
+            seg.astype(_F32)[None, :],
+            active.astype(_F32)[None, :],
+            ground.astype(_F32)[None, :],
+            done.astype(_F32)[None, :],
+            jnp.arange(n, dtype=_F32)[None, :],
+        ],
+        axis=0,
+    )
+    n_pad = (-n) % 128
+    if n_pad:
+        pts = jnp.pad(pts, ((0, 0), (0, n_pad)))
+
+    node_ids = jnp.arange(num_segs, dtype=jnp.int32)
+    real = (node_ids < trash).astype(_F32)
+    lvl_f = jnp.asarray(lvl, _F32)
+    thresh = _F32(cfg.th_dist) * (1.0 + _F32(cfg.split_residual_slope) * lvl_f)
+    min_sz = (_F32(cfg.split_min_points_base)
+              + _F32(cfg.split_min_points_slope) * lvl_f)
+    eff_levels = cfg.effective_levels
+    depth_ok = (jnp.asarray(lvl, jnp.int32)
+                < min(cfg.max_split_depth, eff_levels - 1)).astype(_F32)
+
+    def _row(v):
+        return jnp.pad(v, (0, sp - num_segs))[None, :]
+
+    tables = jnp.concatenate(
+        [
+            _row(tau_node), _row(zth_node), _row(real),
+            jnp.full((1, sp), thresh, _F32),
+            jnp.full((1, sp), min_sz, _F32),
+            jnp.full((1, sp), depth_ok, _F32),
+            jnp.zeros((2, sp), _F32),
+        ],
+        axis=0,
+    )
+
+    state, stats = level_megakernel(
+        pts, tables, num_segs, cfg.max_iter, is_level0,
+        cfg.min_seed_points, cfg.flat_area_m2, cfg.flat_dz,
+        cfg.flat_min_points,
+    )
+    ground_out = state[0, :n] > 0.5
+    done_out = state[1, :n] > 0.5
+    split = stats[0, :num_segs] > 0.5
+    return done_out, ground_out, split
+
+
 def _level_body(cfg, impl, xyz, pa, tau_patch, zth_patch, lvl, num_segs,
                 is_level0, node, node_patch_in, done, ground):
     """Stats -> early-outs -> seeds -> iterative fit -> split flags for one
@@ -197,10 +262,6 @@ def _level_body(cfg, impl, xyz, pa, tau_patch, zth_patch, lvl, num_segs,
     eff_levels = cfg.effective_levels
     trash = num_segs - 1
 
-    active = pa.in_patch & ~done
-    seg = jnp.where(active, node, trash)
-    ops = SegOps(seg, num_segs, "onehot" if impl == "fused" else impl)
-
     # level-0 node->patch map is the identity; deeper levels carry a table
     if is_level0:
         node_patch = jnp.arange(num_segs, dtype=jnp.int32)
@@ -208,6 +269,20 @@ def _level_body(cfg, impl, xyz, pa, tau_patch, zth_patch, lvl, num_segs,
         node_patch = node_patch_in[:num_segs]
     tau_node = tau_patch[node_patch]  # (S,) tiny gathers
     zth_node = zth_patch[node_patch]
+
+    if impl == "fused" and cfg.adaptive_seed_height:
+        from ..kernels.fit_pallas import megakernel_fits, sp_width
+
+        n_pts = xyz.shape[0]
+        if megakernel_fits(n_pts + (-n_pts) % 128, sp_width(num_segs)):
+            return _level_body_megakernel(
+                cfg, xyz, pa, tau_node, zth_node, lvl, num_segs,
+                is_level0, node, done, ground,
+            )
+
+    active = pa.in_patch & ~done
+    seg = jnp.where(active, node, trash)
+    ops = SegOps(seg, num_segs, "onehot" if impl == "fused" else impl)
 
     node_ids = jnp.arange(num_segs, dtype=jnp.int32)
     real = node_ids < trash
