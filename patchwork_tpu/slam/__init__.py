@@ -12,7 +12,8 @@ from .se3 import (
     so3_log,
 )
 from .scan_matching import MatchResult, icp_ground_constrained, nearest_neighbors
-from .pose_graph import PoseGraph, ate_rmse, edge_residuals, optimize_pose_graph
+from .pose_graph import (PoseGraph, ate_rmse, edge_residuals,
+                         optimize_pose_graph, sparsify_pose_graph)
 from .odometry import LidarOdometry, OdometryConfig
 from .ba import BAProblem, ba_residuals, bundle_adjust, bundle_adjust_sharded
 from .landmarks import build_ba_problem, extract_observations, refine_with_ba

@@ -212,9 +212,21 @@ class LidarOdometry:
             edge_info=jnp.asarray(info),
         )
 
-    def optimize(self, iters: int = 10) -> np.ndarray:
-        """Optimize the pose graph; updates and returns all poses."""
-        g = optimize_pose_graph(self.build_graph(), iters=iters)
+    def optimize(self, iters: int = 10, solver: str | None = None,
+                 max_degree: int | None = None) -> np.ndarray:
+        """Optimize the pose graph; updates and returns all poses.
+
+        solver: None auto-selects dense LU vs matrix-free PCG by K
+        (pose_graph.optimize_pose_graph).  max_degree: if set, prune
+        loop edges first (pose_graph.sparsify_pose_graph) — bounds the
+        per-CG-product cost on long, densely-closed trajectories.
+        """
+        g = self.build_graph()
+        if max_degree is not None:
+            from .pose_graph import sparsify_pose_graph
+
+            g = sparsify_pose_graph(g, max_degree=max_degree)
+        g = optimize_pose_graph(g, iters=iters, solver=solver)
         poses = np.asarray(g.poses)
         self.poses = [p for p in poses]
         return poses

@@ -280,3 +280,83 @@ class TestOdometry:
         ate_opt = odo.trajectory_error(gt)
         assert ate_opt < 0.35, (ate_odo, ate_opt)
         assert ate_opt < ate_odo * 0.6  # closures must actually correct drift
+
+
+class TestCGSolver:
+    """Matrix-free block-Jacobi PCG vs the dense LU path (pose_graph.py)."""
+
+    def test_cg_matches_dense(self):
+        from patchwork_tpu.slam.pose_graph import ate_rmse
+
+        g, gt = chain_graph(k=24, drift=0.05, seed=11)
+        gd = optimize_pose_graph(g, iters=8, solver="dense")
+        gc = optimize_pose_graph(g, iters=8, solver="cg")
+        # both converge to the same optimum (gauge-anchored at pose 0)
+        d = np.asarray(gd.poses) - np.asarray(gc.poses)
+        assert np.abs(d).max() < 1e-3, np.abs(d).max()
+        ate_d = float(ate_rmse(gd.poses, jnp.asarray(gt)))
+        ate_c = float(ate_rmse(gc.poses, jnp.asarray(gt)))
+        assert abs(ate_d - ate_c) < 1e-4
+        assert ate_c < float(ate_rmse(g.poses, jnp.asarray(gt)))
+
+    def test_cg_large_graph(self):
+        # K where the dense (6K,6K) path starts to hurt; CG stays O(E).
+        # A 400-pose circle with 2 closures is gauge-sloppy (flat modes),
+        # so the meaningful check is chi2 convergence, not ATE to gt.
+        from patchwork_tpu.slam.pose_graph import ate_rmse
+
+        g, gt = chain_graph(k=400, drift=0.01, seed=13)
+        g2 = optimize_pose_graph(g, iters=5, solver="cg")
+
+        def chi2(p):
+            r = np.asarray(edge_residuals(p, g))
+            return float((r * r).sum())
+
+        before, after = chi2(g.poses), chi2(g2.poses)
+        assert after < before / 1000.0, (before, after)
+        assert float(ate_rmse(g2.poses, jnp.asarray(gt))) <= float(
+            ate_rmse(g.poses, jnp.asarray(gt)))
+
+    def test_auto_solver_selection(self):
+        g, _ = chain_graph(k=12, drift=0.02, seed=7)
+        # None -> dense for small K; both must run and reduce chi2
+        g2 = optimize_pose_graph(g, iters=5, solver=None)
+        r0 = np.abs(np.asarray(edge_residuals(g.poses, g))).sum()
+        r1 = np.abs(np.asarray(edge_residuals(g2.poses, g))).sum()
+        assert r1 < r0
+
+
+class TestSparsify:
+    def test_keeps_backbone_caps_degree(self):
+        from patchwork_tpu.slam.pose_graph import sparsify_pose_graph
+
+        g, _ = chain_graph(k=16, drift=0.02, seed=9)
+        # add many redundant low-information loop edges onto node 0
+        import numpy as _np
+        extra = 10
+        ei = _np.concatenate([_np.asarray(g.edge_i), _np.zeros(extra, _np.int32)])
+        ej = _np.concatenate([_np.asarray(g.edge_j),
+                              _np.arange(3, 3 + extra, dtype=_np.int32)])
+        eT = _np.concatenate([_np.asarray(g.edge_T),
+                              _np.tile(_np.eye(4, dtype=_np.float32),
+                                       (extra, 1, 1))])
+        info = _np.concatenate([_np.asarray(g.edge_info),
+                                _np.tile(_np.eye(6, dtype=_np.float32),
+                                         (extra, 1, 1))])
+        from patchwork_tpu.slam.pose_graph import PoseGraph as PG
+        g_big = PG(g.poses, jnp.asarray(ei), jnp.asarray(ej),
+                   jnp.asarray(eT), jnp.asarray(info))
+        g_sp = sparsify_pose_graph(g_big, max_degree=2)
+
+        ei_s = _np.asarray(g_sp.edge_i)
+        ej_s = _np.asarray(g_sp.edge_j)
+        # full odometry backbone survives
+        odo = set(zip(ei_s.tolist(), ej_s.tolist()))
+        for i in range(15):
+            assert (i, i + 1) in odo
+        # loop degree capped: node 0 has at most 2 non-backbone edges
+        nonbb = [(a, b) for a, b in zip(ei_s, ej_s) if abs(a - b) != 1]
+        deg0 = sum(1 for a, b in nonbb if a == 0 or b == 0)
+        assert deg0 <= 2, deg0
+        # the high-information original closures outrank the padding
+        assert (0, 15) in odo or (0, 8) in odo
