@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--cloud", choices=["demo", "velodyne"], default="demo",
                     help="scan distribution: uniform demo or spinning-LiDAR-like")
+    ap.add_argument("--exact", action="store_true",
+                    help="bit-exact two-pass covariance instead of the fast "
+                         "single-sweep production mode (fast_covariance); "
+                         "on both bench scenes the two produce identical "
+                         "masks — fast is only IoU-guaranteed in general")
     args = ap.parse_args()
 
     import jax
@@ -38,7 +43,7 @@ def main():
     from patchwork_tpu.io.synthetic import demo_point_cloud, velodyne_like_cloud
     from patchwork_tpu.segment.engine import make_filter_ground_batched
 
-    cfg = PatchworkConfig()
+    cfg = PatchworkConfig(fast_covariance=not args.exact)
     b, n = args.batch, args.points
 
     gen = demo_point_cloud if args.cloud == "demo" else velodyne_like_cloud

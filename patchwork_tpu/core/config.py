@@ -76,6 +76,16 @@ class PatchworkConfig:
     # 'scatter' elsewhere); see segment/segops.py and kernels/fit_pallas.py.
     segment_impl: str | None = None
 
+    # Fast (IoU-parity) covariance mode for the fused Pallas path: points
+    # are shifted to their base patch's static polar center and each fit
+    # iteration runs as ONE fused sweep accumulating raw second moments
+    # (cov = M2 - S S^T/n) instead of the reference's two-pass centered
+    # accumulation (src/recursive_patchwork.cpp:86-95).  The shift bounds
+    # the f32 cancellation so masks stay IoU~=1 vs the exact path, but
+    # bitwise parity with oracle/reference.py is no longer guaranteed —
+    # leave False when bit-exact masks are required.
+    fast_covariance: bool = False
+
     def __post_init__(self) -> None:
         if self.num_rings < 1 or self.num_sectors < 1:
             raise ValueError("num_rings and num_sectors must be >= 1")

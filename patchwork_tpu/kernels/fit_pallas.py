@@ -375,7 +375,27 @@ def _plane_rows(m2, gcnt):
     return jnp.concatenate([vx, vy, vz], axis=0)   # (3, Sp)
 
 
-def _mega_kernel(p_ref, g_ref, gout_ref, stats_ref, *, sp, tile, max_iter):
+def _centered_m2(m1):
+    """Raw fast-sweep moments -> centered second-moment sums, (8, Sp).
+
+    m1 rows (the 12-row fast accumulate): [cnt, sx, sy, sz, distsum,
+    changed, xx, xy, xz, yy, yz, zz] with xx..zz raw (uncentered) sums.
+    cov sums = M2 - S S^T / n — algebraically identical to the two-pass
+    centered accumulation; numerically safe only because fast mode shifts
+    points to their patch center first (segment/binning.patch_centers).
+    """
+    n = jnp.maximum(m1[0:1], 1.0)
+    sx, sy, sz = m1[1:2], m1[2:3], m1[3:4]
+    rows = jnp.concatenate(
+        [m1[6:7] - sx * sx / n, m1[7:8] - sx * sy / n, m1[8:9] - sx * sz / n,
+         m1[9:10] - sy * sy / n, m1[10:11] - sy * sz / n,
+         m1[11:12] - sz * sz / n], axis=0)
+    return jnp.concatenate([rows, jnp.zeros((2, rows.shape[1]),
+                                            jnp.float32)], axis=0)
+
+
+def _mega_kernel(p_ref, g_ref, gout_ref, stats_ref, *, sp, tile, max_iter,
+                 fast):
     n = p_ref.shape[1]
     ntiles = n // tile
     gout_ref[:] = g_ref[:]
@@ -385,9 +405,13 @@ def _mega_kernel(p_ref, g_ref, gout_ref, stats_ref, *, sp, tile, max_iter):
         [cx, cy, cz, nx, ny, nz, can, 0]: gather the point's plane, apply
         the re-threshold where allowed, write the mask, and accumulate
         (8, Sp) stats [cnt, sx, sy, sz, distsum(old mask), changed, 0, 0].
-        With can = 0 the mask is untouched and the sweep reduces to a
-        moments/distsum pass (used for init and the final residual)."""
+        In fast mode the accumulate grows to 12 rows, appending the NEW
+        mask's raw second moments [xx, xy, xz, yy, yz, zz] so the whole
+        fit iteration needs no second (m2) sweep.  With can = 0 the mask
+        is untouched and the sweep reduces to a moments/distsum pass
+        (used for init and the final residual)."""
         tparts = _split3(tab)
+        nrows = 12 if fast else 8
 
         def body(t, acc):
             sl = pl.ds(t * tile, tile)
@@ -403,14 +427,18 @@ def _mega_kernel(p_ref, g_ref, gout_ref, stats_ref, *, sp, tile, max_iter):
             new_g = (dist < p[3:4]).astype(jnp.float32)
             g2 = apply_m * new_g + (1.0 - apply_m) * g
             gout_ref[:, sl] = g2
-            prod = jnp.concatenate(
-                [g2, p[0:1] * g2, p[1:2] * g2, p[2:3] * g2,
-                 dist * g, apply_m * jnp.abs(new_g - g),
-                 jnp.zeros_like(g2), jnp.zeros_like(g2)], axis=0)
+            xg, yg, zg = p[0:1] * g2, p[1:2] * g2, p[2:3] * g2
+            rows = [g2, xg, yg, zg, dist * g, apply_m * jnp.abs(new_g - g)]
+            if fast:
+                rows += [p[0:1] * xg, p[1:2] * xg, p[2:3] * xg,
+                         p[1:2] * yg, p[2:3] * yg, p[2:3] * zg]
+            else:
+                rows += [jnp.zeros_like(g2), jnp.zeros_like(g2)]
+            prod = jnp.concatenate(rows, axis=0)
             return acc + _dot3(_split3(prod), oht, ((1,), (1,)))
 
         return jax.lax.fori_loop(0, ntiles, body,
-                                 jnp.zeros((8, sp), jnp.float32))
+                                 jnp.zeros((nrows, sp), jnp.float32))
 
     def m2_sweep(ctab):
         """Centered second moments of the current mask (two-pass form,
@@ -442,8 +470,12 @@ def _mega_kernel(p_ref, g_ref, gout_ref, stats_ref, *, sp, tile, max_iter):
     def make_tab(m1, with_can):
         gcnt = m1[0:1]
         c = m1[1:4] / jnp.maximum(gcnt, 1.0)
-        ctab = jnp.concatenate([c, jnp.zeros((5, sp), jnp.float32)], axis=0)
-        m2 = m2_sweep(ctab)
+        if fast:
+            m2 = _centered_m2(m1)
+        else:
+            ctab = jnp.concatenate([c, jnp.zeros((5, sp), jnp.float32)],
+                                   axis=0)
+            m2 = m2_sweep(ctab)
         normal = _plane_rows(m2, gcnt)
         can = (gcnt >= 3.0).astype(jnp.float32) if with_can \
             else jnp.zeros((1, sp), jnp.float32)
@@ -464,7 +496,9 @@ def _mega_kernel(p_ref, g_ref, gout_ref, stats_ref, *, sp, tile, max_iter):
 
     # final fit of the converged mask: can=0 -> pure distance-sum sweep
     tab = make_tab(m1, False)
-    stats_ref[:] = sweep(tab)
+    m_f = sweep(tab)
+    stats_ref[:] = jnp.concatenate(
+        [m_f[0:6], jnp.zeros((2, sp), jnp.float32)], axis=0)
 
 
 def megakernel_fits(n_padded: int, sp: int) -> bool:
@@ -474,22 +508,26 @@ def megakernel_fits(n_padded: int, sp: int) -> bool:
     return point_bytes + onehot_bytes + 64 * sp * 4 < 10 * 1024 * 1024
 
 
-@functools.partial(jax.jit, static_argnames=("num_segs", "max_iter", "tile"))
+@functools.partial(jax.jit, static_argnames=("num_segs", "max_iter", "tile",
+                                             "fast"))
 def fit_level_megakernel(p: jax.Array, g0: jax.Array, num_segs: int,
-                         max_iter: int, tile: int | None = None):
+                         max_iter: int, tile: int | None = None,
+                         fast: bool = False):
     """Run one level's complete fit loop in a single kernel launch.
 
     p: (8, N) packed points (:func:`fit_pack`), N a multiple of the tile;
     g0: (1, N) seeded 0/1 mask.  Returns (g (1, N) f32 converged mask,
     stats (8, Sp) f32 rows [cnt, sx, sy, sz, distsum, changed, 0, 0] of the
-    final fit).
+    final fit).  ``fast`` fuses the covariance into the apply sweep (one
+    sweep per iteration; expects patch-center-shifted coordinates).
     """
     n = p.shape[1]
     sp = sp_width(num_segs)
     if tile is None:
         tile = next(t for t in (4096, 2048, 1024, 512, 256, 128) if n % t == 0)
     return pl.pallas_call(
-        functools.partial(_mega_kernel, sp=sp, tile=tile, max_iter=max_iter),
+        functools.partial(_mega_kernel, sp=sp, tile=tile, max_iter=max_iter,
+                          fast=fast),
         grid=(1,),
         in_specs=[
             pl.BlockSpec((8, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -537,7 +575,7 @@ def fit_level_megakernel(p: jax.Array, g0: jax.Array, num_segs: int,
 
 def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, *, sp, tile,
                   max_iter, is_level0, min_seed, flat_area, flat_dz,
-                  flat_minpts):
+                  flat_minpts, fast):
     n = p_ref.shape[1]
     ntiles = n // tile
     inf = jnp.float32(jnp.inf)
@@ -705,6 +743,7 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, *, sp, tile,
 
     def sweep(tab):
         tparts = _split3(tab)
+        nrows = 12 if fast else 8
 
         def body(t, acc):
             sl = pl.ds(t * tile, tile)
@@ -719,14 +758,19 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, *, sp, tile,
             g2 = apply_m * new_g + (1.0 - apply_m) * g
             state_ref[0:1, sl] = g2
             gm = g2 * p[4:5]
-            prod = jnp.concatenate(
-                [gm, p[0:1] * gm, p[1:2] * gm, p[2:3] * gm,
-                 dist * g * p[4:5], apply_m * jnp.abs(new_g - g),
-                 jnp.zeros_like(g2), jnp.zeros_like(g2)], axis=0)
+            xg, yg, zg = p[0:1] * gm, p[1:2] * gm, p[2:3] * gm
+            rows = [gm, xg, yg, zg, dist * g * p[4:5],
+                    apply_m * jnp.abs(new_g - g)]
+            if fast:
+                rows += [p[0:1] * xg, p[1:2] * xg, p[2:3] * xg,
+                         p[1:2] * yg, p[2:3] * yg, p[2:3] * zg]
+            else:
+                rows += [jnp.zeros_like(g2), jnp.zeros_like(g2)]
+            prod = jnp.concatenate(rows, axis=0)
             return acc + _dot3(_split3(prod), oht, ((1,), (1,)))
 
         return jax.lax.fori_loop(0, ntiles, body,
-                                 jnp.zeros((8, sp), jnp.float32))
+                                 jnp.zeros((nrows, sp), jnp.float32))
 
     def m2_sweep(ctab):
         cparts = _split3(ctab)
@@ -751,8 +795,12 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, *, sp, tile,
     def make_tab(m1, with_can):
         gcnt = m1[0:1]
         c = m1[1:4] / jnp.maximum(gcnt, 1.0)
-        ctab = jnp.concatenate([c, jnp.zeros((5, sp), jnp.float32)], axis=0)
-        m2 = m2_sweep(ctab)
+        if fast:
+            m2 = _centered_m2(m1)
+        else:
+            ctab = jnp.concatenate([c, jnp.zeros((5, sp), jnp.float32)],
+                                   axis=0)
+            m2 = m2_sweep(ctab)
         normal = _plane_rows(m2, gcnt)
         can = fit_row * (gcnt >= 3.0).astype(jnp.float32) if with_can \
             else jnp.zeros((1, sp), jnp.float32)
@@ -805,15 +853,18 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, *, sp, tile,
 
 @functools.partial(jax.jit, static_argnames=(
     "num_segs", "max_iter", "is_level0", "min_seed", "flat_area", "flat_dz",
-    "flat_minpts", "tile"))
+    "flat_minpts", "tile", "fast"))
 def level_megakernel(pts: jax.Array, tables: jax.Array, num_segs: int,
                      max_iter: int, is_level0: bool, min_seed: int,
                      flat_area: float, flat_dz: float, flat_minpts: int,
-                     tile: int | None = None):
+                     tile: int | None = None, fast: bool = False):
     """Run one complete level of the engine in a single kernel launch.
 
     See the module-level comment above :func:`_level_kernel` for the
-    row contracts.  Returns (state (4, N), stats (8, Sp)).
+    row contracts.  Returns (state (4, N), stats (8, Sp)).  ``fast`` fuses
+    the covariance into the apply sweep (one sweep per fit iteration;
+    expects patch-center-shifted coordinates — see
+    segment/binning.patch_centers).
     """
     n = pts.shape[1]
     sp = sp_width(num_segs)
@@ -824,7 +875,7 @@ def level_megakernel(pts: jax.Array, tables: jax.Array, num_segs: int,
             _level_kernel, sp=sp, tile=tile, max_iter=max_iter,
             is_level0=is_level0, min_seed=min_seed,
             flat_area=float(flat_area), flat_dz=float(flat_dz),
-            flat_minpts=flat_minpts),
+            flat_minpts=flat_minpts, fast=fast),
         grid=(1,),
         in_specs=[
             pl.BlockSpec((8, n), lambda i: (0, 0), memory_space=pltpu.VMEM),

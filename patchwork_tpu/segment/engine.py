@@ -41,6 +41,7 @@ a TPU mesh (patchwork_tpu.parallel).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -134,7 +135,8 @@ def _fused_fit_resid(cfg, xyz, seg, tau_pt, active, fit_pt, ground, num_segs):
     if megakernel_fits(n + n_pad, sp):
         # whole cloud resident in VMEM: the complete convergence loop is
         # ONE kernel launch (kernels/fit_pallas.py _mega_kernel)
-        g, stats = fit_level_megakernel(p, g0, num_segs, cfg.max_iter)
+        g, stats = fit_level_megakernel(p, g0, num_segs, cfg.max_iter,
+                                        fast=cfg.fast_covariance)
         gcnt = stats[0]
         resid = stats[4] / jnp.maximum(gcnt, 1.0)
         resid = jnp.where(gcnt >= 3.0, resid, _INF)
@@ -241,7 +243,7 @@ def _level_body_megakernel(cfg, xyz, pa, tau_node, zth_node, lvl, num_segs,
     state, stats = level_megakernel(
         pts, tables, num_segs, cfg.max_iter, is_level0,
         cfg.min_seed_points, cfg.flat_area_m2, cfg.flat_dz,
-        cfg.flat_min_points,
+        cfg.flat_min_points, fast=cfg.fast_covariance,
     )
     ground_out = state[0, :n] > 0.5
     done_out = state[1, :n] > 0.5
@@ -516,6 +518,32 @@ def filter_ground(
     # values must not reach the segment matmuls: 0 * NaN = NaN would poison
     # every segment column of the 'onehot'/'pallas' reductions.
     xyz = jnp.where(pa.finite[:, None], xyz, 0.0)
+    fast = bool(cfg.fast_covariance) and impl == "fused"
+    if fast:
+        # Fast (IoU-parity) mode: shift every point to its base patch's
+        # static polar center.  All per-node computations are invariant
+        # under this per-patch xy translation (binning happened above on
+        # the raw coords; seeds/flatness use z only; extents, medians and
+        # plane distances are translation-invariant), and the bounded
+        # coordinates let the kernels fuse the covariance into the apply
+        # sweep as raw moments — one sweep per fit iteration, not two.
+        # The center is computed arithmetically per point (not via a
+        # (P, 3) table gather — TPU row gathers at N rows are slow): the
+        # log-spaced ring midpoint as exp(ring * ln(ratio)/R) and the
+        # sector bisector angle; identical for all points of a patch,
+        # which is all the invariance argument needs.
+        ring = (pa.patch // cfg.num_sectors).astype(_F32)
+        sec = (pa.patch % cfg.num_sectors).astype(_F32)
+        ln_r = math.log(cfg.filtering_radius / cfg.r_min) / cfg.num_rings
+        r_c = _F32(0.5 * cfg.r_min * (1.0 + math.exp(ln_r))) * jnp.exp(
+            ring * _F32(ln_r)
+        )
+        a_c = (sec + _F32(0.5)) * _F32(2.0 * math.pi / cfg.num_sectors)
+        w = pa.in_patch.astype(_F32) * r_c
+        shift = jnp.stack(
+            [w * jnp.cos(a_c), w * jnp.sin(a_c), jnp.zeros_like(w)], axis=1
+        )
+        xyz = xyz - shift
     num_p = cfg.num_patches
     cap_a = max(cfg.max_active_nodes, num_p)
     eff_levels = cfg.effective_levels
