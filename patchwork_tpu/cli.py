@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stream", action="store_true",
                    help="stream ALL frames (KITTI dir or bag topic) through "
                         "the engine; writes masks npz + latency report")
+    p.add_argument("--launch", metavar="FILE",
+                   help="run a YAML/JSON deployment descriptor (node params "
+                        "+ config + source + capacity in one file — the "
+                        "launch-file analogue, see patchwork_tpu/launch.py)")
     p.add_argument("--variant", default="recursive",
                    help="algorithm variant: recursive | patchwork | patchwork_pp")
     p.add_argument("--num-points", type=int, default=10000, help="demo cloud size")
@@ -195,6 +199,12 @@ def make_config(args):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     t_start = time.perf_counter()
+
+    if args.launch:
+        from .launch import load_launch, run_launch
+
+        run_launch(load_launch(args.launch))
+        return 0
 
     if args.stream:
         return stream_mode(args)

@@ -43,7 +43,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fit_pack", "fused_apply", "fused_moments2", "sp_width",
-           "fit_level_megakernel", "megakernel_fits", "level_megakernel"]
+           "fit_level_megakernel", "megakernel_fits", "level_megakernel",
+           "seg_order_stat"]
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -548,7 +549,179 @@ def fit_level_megakernel(p: jax.Array, g0: jax.Array, num_segs: int,
 
 
 # ---------------------------------------------------------------------------
-# v2: the ENTIRE level body in one kernel launch (adaptive-seed configs)
+# exact per-segment order statistics, in-kernel (no sort)
+# ---------------------------------------------------------------------------
+#
+# The reference needs two order statistics: the 10th-percentile z for the
+# non-adaptive seed threshold (src/recursive_patchwork.cpp:156-159) and the
+# per-patch median for the variance-axis split (cpp:253-269).  A segment
+# sort of the whole cloud is the XLA formulation (segops.sort_by_segment)
+# but costs milliseconds of HBM-bound sorting passes.  Here the k-th
+# smallest value per segment is found EXACTLY with 5 histogram-refinement
+# sweeps over the VMEM-resident points:
+#
+# * f32 values map to order-preserving int32 keys (the classic radix trick:
+#   flip the low 31 bits of negatives), so selection runs on exact integer
+#   arithmetic — no convergence/tie issues;
+# * each round partitions the current key interval into 128 buckets
+#   (arithmetic shift), counts per (bucket, segment) with ONE bf16 MXU
+#   matmul per tile (0/1 operands, f32 accumulation => exact), locates the
+#   bucket containing rank k via a triangular cumulative matmul, and
+#   narrows the interval 128x;
+# * 7 bits per round x 5 rounds covers the full 32-bit key space, so after
+#   round 5 the interval is a single key — the answer, exactly
+#   sorted(values)[k], independent of summation order or ties.
+
+_MANT31 = 0x7FFFFFFF
+
+
+def _f32_key(v):
+    """f32 -> order-preserving int32 key (involution with _key_f32)."""
+    u = jax.lax.bitcast_convert_type(v, jnp.int32)
+    return u ^ (jnp.right_shift(u, 31) & jnp.int32(_MANT31))
+
+
+def _key_f32(k):
+    """int32 key -> f32 value (inverse of _f32_key; same bit trick)."""
+    u = k ^ (jnp.right_shift(k, 31) & jnp.int32(_MANT31))
+    return jax.lax.bitcast_convert_type(u, jnp.float32)
+
+
+# shift per round: 7 key bits resolved per round, 4 on the last
+_OS_SHIFTS = (25, 18, 11, 4, 0)
+
+
+def _orderstat_rounds(count_round, k, sp):
+    """Run the 5 histogram rounds; returns (1, sp) f32 k-th smallest values.
+
+    ``count_round(lo_rows, shift, first)`` must return (128, sp) f32 exact
+    per-(bucket, segment) counts of candidate points, where ``lo_rows`` is
+    the (2, sp) f32 [hi16, lo16] decomposition of the current lower-bound
+    key (so in-kernel gathers of the 32-bit bound stay exact through bf16
+    matmuls) and ``first`` selects the unbounded full-keyspace round.
+    ``k`` is (1, sp) f32 target rank (0-indexed).  Segments whose k is out
+    of range return garbage — callers mask.
+    """
+    tri_r = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    tri_c = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    tri = (tri_r >= tri_c).astype(jnp.float32)  # cum_j = sum_{b<=j} counts_b
+    bidx = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+
+    lo = jnp.zeros((1, sp), jnp.int32)
+    k = k.astype(jnp.float32)
+    for r, shift in enumerate(_OS_SHIFTS):
+        hi16 = jnp.right_shift(lo, 16).astype(jnp.float32)
+        lo16 = (lo & jnp.int32(0xFFFF)).astype(jnp.float32)
+        counts = count_round(
+            jnp.concatenate([hi16, lo16], axis=0), shift, r == 0)
+        cum = jax.lax.dot_general(
+            tri, counts, (((1,), (0,)), ((), ())),
+            precision=_HIGHEST, preferred_element_type=jnp.float32)
+        j = jnp.sum((cum <= k).astype(jnp.float32), axis=0,
+                    keepdims=True)  # first bucket with cum > k
+        excl = cum - counts
+        sel = (bidx.astype(jnp.float32) == j).astype(jnp.float32)
+        base = jnp.sum(excl * sel, axis=0, keepdims=True)
+        k = k - base
+        j_i = j.astype(jnp.int32)
+        if r == 0:
+            lo = jnp.left_shift(j_i - 64, 25)
+        else:
+            lo = lo + jnp.left_shift(j_i, shift)
+    return _key_f32(lo)
+
+
+def _gather_lo(lo_rows_parts, oht):
+    """Per-point int32 lower bound from its split [hi16, lo16] gather."""
+    g = _dot3(lo_rows_parts, oht, ((1,), (0,)))     # (2, T) exact f32
+    return (g[0:1].astype(jnp.int32) * 65536 + g[1:2].astype(jnp.int32))
+
+
+def _bucket_onehot(key, lo_pt, shift, first, valid):
+    """(128, T) bf16 bucket one-hot of each point's key this round."""
+    if first:
+        bucket = jnp.right_shift(key, 25) + 64
+        ok = valid
+    else:
+        bucket = jnp.right_shift(key - lo_pt, shift)
+        ok = valid & (key >= lo_pt)
+    bidx = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+    return ((bidx == bucket) & ok).astype(jnp.bfloat16)
+
+
+def _orderstat_kernel(v_ref, s_ref, k_ref, out_ref, *, sp, tile):
+    n = v_ref.shape[1]
+    ntiles = n // tile
+    ids = jax.lax.broadcasted_iota(jnp.int32, (sp, 1), 0).astype(jnp.float32)
+
+    def count_round(lo_rows, shift, first):
+        lo_parts = _split3(lo_rows)
+
+        def body(t, acc):
+            sl = pl.ds(t * tile, tile)
+            key = _f32_key(v_ref[0:1, sl])
+            segf = s_ref[0:1, sl]
+            oht = (ids == segf).astype(jnp.bfloat16)    # (Sp, T)
+            valid = s_ref[1:2, sl] > 0.5
+            lo_pt = (jnp.zeros_like(key) if first
+                     else _gather_lo(lo_parts, oht))
+            boh = _bucket_onehot(key, lo_pt, shift, first, valid)
+            return acc + jax.lax.dot_general(
+                boh, oht, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        return jax.lax.fori_loop(0, ntiles, body,
+                                 jnp.zeros((128, sp), jnp.float32))
+
+    out_ref[:] = _orderstat_rounds(count_round, k_ref[0:1, :], sp)
+
+
+@functools.partial(jax.jit, static_argnames=("num_segs", "tile"))
+def seg_order_stat(vals: jax.Array, seg: jax.Array, valid: jax.Array,
+                   k: jax.Array, num_segs: int, tile: int | None = None):
+    """Exact per-segment k-th smallest value (sorted(vals of seg)[k]).
+
+    vals (N,) f32, seg (N,) int32, valid (N,) bool candidate mask,
+    k (num_segs,) int32 0-indexed rank.  Returns (num_segs,) f32; segments
+    with no candidates or k out of range return garbage (mask downstream).
+    Standalone wrapper around the same histogram machinery the level
+    megakernel uses in-kernel; differentially tested against
+    segops.sort_by_segment.
+    """
+    n = vals.shape[0]
+    sp = sp_width(num_segs)
+    n_pad = (-n) % 128
+    v2 = jnp.pad(vals.astype(jnp.float32), (0, n_pad))[None, :]
+    s2 = jnp.stack([
+        jnp.pad(seg.astype(jnp.float32), (0, n_pad), constant_values=-1.0),
+        jnp.pad(valid.astype(jnp.float32), (0, n_pad)),
+    ], axis=0)
+    k2 = jnp.pad(k.astype(jnp.float32), (0, sp - num_segs))[None, :]
+    npad = n + n_pad
+    if tile is None:
+        tile = next(t for t in (4096, 2048, 1024, 512, 256, 128)
+                    if npad % t == 0)
+    out = pl.pallas_call(
+        functools.partial(_orderstat_kernel, sp=sp, tile=tile),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((1, npad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, npad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, sp), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, sp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interp(),
+    )(v2, s2, k2)
+    return out[0, :num_segs]
+
+
+# ---------------------------------------------------------------------------
+# v3: the ENTIRE level in one kernel launch — split execution (remap),
+#     seeds (adaptive OR percentile), stats, fit loop, split decision
 # ---------------------------------------------------------------------------
 #
 # Beyond the fit loop, each level of the XLA path spends ~6 more one-hot
@@ -556,53 +729,200 @@ def fit_level_megakernel(p: jax.Array, g0: jax.Array, num_segs: int,
 # counts, bounding boxes), the seed/early-out per-point gathers, and the
 # split bookkeeping (segment/engine.py _level_body; reference semantics
 # src/recursive_patchwork.cpp:109-308).  This kernel runs the complete
-# level — stats -> early-outs -> seeds (incl. the "3 lowest-z" deficient
-# fallback, cpp:171-182) -> iterative fit -> split decision -> done/ground
-# updates — with the cloud VMEM-resident and ONE launch.
+# level with the cloud VMEM-resident and ONE launch:
+#
+#   remap prologue (deep levels): execute the parent level's splits —
+#     per-parent variance axis, EXACT per-parent median (histogram order
+#     statistic, no sort — replaces the XLA segment sort that dominated
+#     split-heavy scenes), compact child-slot assignment, per-point
+#     reassignment, child inheritance of tau/zth (cpp:237-304)
+#   -> stats (cnt, bbox) -> early-outs -> seeds (adaptive gather OR the
+#     reference's percentile order statistic, cpp:156-159, again in-kernel;
+#     incl. the "3 lowest-z" deficient fallback, cpp:171-182)
+#   -> iterative fit -> split decision -> done/ground updates.
 #
 # Inputs
-#   pts    (8, N) f32 rows [x, y, z, seg-id, active, ground, done, index]
+#   pts    (8, N) f32 rows [x, y, z, seg, ground, done, index, 0]
+#          seg = live node id (trash if done/out-of-patch); for remap
+#          levels these are PARENT ids — the prologue renumbers them
 #   tables (8, Sp) f32 rows [tau_node, zth_node, real, split_thresh,
-#                            min_split_size, depth_ok, 0, 0]
-#          (rows 3-5 are per-level scalars broadcast across Sp)
+#                            min_split_size, depth_ok, parent_split, 0]
+#          (rows 3-5 are per-level scalars broadcast across Sp; tau/zth
+#          are indexed by parent ids for remap levels)
 # Outputs
-#   state  (4, N) f32 rows [ground, done, chosen, 0]
-#   stats  (8, Sp) f32 rows [split, gcnt, resid-sum, cnt, seed_cnt, 0, 0, 0]
-#
-# Only the adaptive-seed path is supported (the non-adaptive percentile
-# seed needs a segment sort, cpp:156-159 — engine falls back to XLA).
+#   state  (4, N) f32 rows [ground, done, chosen (scratch), seg_out]
+#   stats  (8, Sp) f32 rows [split, gcnt, resid-sum/cnt, cnt, seed_cnt,
+#                            tau_out, zth_out, 0]
+#          tau_out/zth_out are the POST-remap per-node rows (children
+#          inherit their parent's, cpp:286-287) for feeding the next level.
 
 
 def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, *, sp, tile,
                   max_iter, is_level0, min_seed, flat_area, flat_dz,
-                  flat_minpts, fast):
+                  flat_minpts, fast, adaptive, seed_percentile, th_seeds,
+                  remap, trash):
     n = p_ref.shape[1]
     ntiles = n // tile
     inf = jnp.float32(jnp.inf)
     big = jnp.float32(3.0e38)
+    trash_f = jnp.float32(trash)
 
-    state_ref[0:1, :] = p_ref[5:6, :]   # ground
-    state_ref[1:2, :] = p_ref[6:7, :]   # done
+    state_ref[0:1, :] = p_ref[4:5, :]   # ground
+    state_ref[1:2, :] = p_ref[5:6, :]   # done
     state_ref[2:3, :] = jnp.zeros((1, n), jnp.float32)   # chosen
-    state_ref[3:4, :] = jnp.zeros((1, n), jnp.float32)
 
     ids = jax.lax.broadcasted_iota(jnp.int32, (sp, 1), 0).astype(jnp.float32)
 
-    def oht_of(p):
-        return ids == p[3:4]            # (Sp, T) bool
+    def oht_sl(sl):
+        """(Sp, T) one-hot of the LIVE seg (post-remap, state row 3)."""
+        return ids == state_ref[3:4, sl]
 
-    # ---- phase 1: per-node stats (cnt, seed_cnt, bbox) ------------------
-    zth_tau = _split3(tab_ref[0:2, :])  # rows [tau, zth] -> gather both
+    def act_sl(sl):
+        """(1, T) 0/1 activity from the live seg (trash = inactive)."""
+        return (state_ref[3:4, sl] < trash_f).astype(jnp.float32)
+
+    # ---- phase 0: split execution / remap prologue (cpp:237-304) --------
+    if not remap:
+        state_ref[3:4, :] = p_ref[3:4, :]
+        tau_row = tab_ref[0:1, :]
+        zth_row = tab_ref[1:2, :]
+    else:
+        def p_oht(p):
+            return ids == p[3:4]        # (Sp, T) one-hot of PARENT ids
+
+        # R1: per-parent xy variance about the full-node centroid
+        # (population variance, cpp:237-250).  fast mode folds the second
+        # moments into one raw-moment sweep (patch-shifted coords keep the
+        # cancellation bounded); exact mode keeps the two-pass form.
+        nr1 = 5 if fast else 3
+
+        def r1_body(t, acc):
+            sl = pl.ds(t * tile, tile)
+            p = p_ref[:, sl]
+            oht = p_oht(p).astype(jnp.bfloat16)
+            a = (p[3:4] < trash_f).astype(jnp.float32)
+            xa, ya = p[0:1] * a, p[1:2] * a
+            rows = [a, xa, ya]
+            if fast:
+                rows += [p[0:1] * xa, p[1:2] * ya]
+            prod = jnp.concatenate(rows, axis=0)
+            return acc + _dot3(_split3(prod), oht, ((1,), (1,)))
+
+        m1 = jax.lax.fori_loop(0, ntiles, r1_body,
+                               jnp.zeros((nr1, sp), jnp.float32))
+        pcnt = m1[0:1]
+        safe_n = jnp.maximum(pcnt, 1.0)
+        cx, cy = m1[1:2] / safe_n, m1[2:3] / safe_n
+        if fast:
+            vx = m1[3:4] - m1[1:2] * m1[1:2] / safe_n
+            vy = m1[4:5] - m1[2:3] * m1[2:3] / safe_n
+        else:
+            c2 = _split3(jnp.concatenate([cx, cy], axis=0))
+
+            def r1b_body(t, acc):
+                sl = pl.ds(t * tile, tile)
+                p = p_ref[:, sl]
+                oht = p_oht(p).astype(jnp.bfloat16)
+                a = (p[3:4] < trash_f).astype(jnp.float32)
+                cg = _dot3(c2, oht, ((1,), (0,)))
+                dx = (p[0:1] - cg[0:1]) * a
+                dy = (p[1:2] - cg[1:2]) * a
+                prod = jnp.concatenate([dx * dx, dy * dy], axis=0)
+                return acc + _dot3(_split3(prod), oht, ((1,), (1,)))
+
+            v2 = jax.lax.fori_loop(0, ntiles, r1b_body,
+                                   jnp.zeros((2, sp), jnp.float32))
+            vx, vy = v2[0:1], v2[1:2]
+        axis_x = (vx > vy).astype(jnp.float32)   # (1, Sp)
+
+        # R2: EXACT per-parent median sorted[cnt // 2] (cpp:253-269) via
+        # the histogram order statistic — 5 sweeps, no sort.
+        k_med = jnp.floor(pcnt * 0.5)
+
+        def count_round_med(lo_rows, shift, first):
+            gparts = _split3(jnp.concatenate([axis_x, lo_rows], axis=0))
+
+            def body(t, acc):
+                sl = pl.ds(t * tile, tile)
+                p = p_ref[:, sl]
+                ohb = p_oht(p)
+                oht = ohb.astype(jnp.bfloat16)
+                g = _dot3(gparts, oht, ((1,), (0,)))   # [axis, hi16, lo16]
+                v = g[0:1] * p[0:1] + (1.0 - g[0:1]) * p[1:2]
+                key = _f32_key(v)
+                a = p[3:4] < trash_f
+                lo_pt = (g[1:2].astype(jnp.int32) * 65536
+                         + g[2:3].astype(jnp.int32))
+                boh = _bucket_onehot(key, lo_pt, shift, first, a)
+                return acc + jax.lax.dot_general(
+                    boh, oht, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            return jax.lax.fori_loop(0, ntiles, body,
+                                     jnp.zeros((128, sp), jnp.float32))
+
+        median = _orderstat_rounds(count_round_med, k_med, sp)
+
+        # R3: compact child slots — children of split parents renumber
+        # into [0, trash); overflowing parents keep their converged mask
+        # (depth truncation; raise cfg.max_active_nodes if hit).
+        split_p = tab_ref[6:7, :]
+        tri_r = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 0)
+        tri_c = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
+        tri_strict = (tri_r < tri_c).astype(jnp.bfloat16)
+        rank = jax.lax.dot_general(                     # rank_j = #{i<j: split}
+            split_p.astype(jnp.bfloat16), tri_strict,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        base_slot = 2.0 * rank
+        okp = split_p * (base_slot + 1.0 < trash_f).astype(jnp.float32)
+
+        # R4: children inherit the parent's tau/zth rows (cpp:286-287):
+        # permutation matmul new[i] <- old[j] for i in {slot_j, slot_j+1}
+        srow = jax.lax.broadcasted_iota(jnp.int32, (sp, 1), 0)\
+            .astype(jnp.float32)
+        pm = (((srow == base_slot) | (srow == base_slot + 1.0))
+              & (okp > 0.5)).astype(jnp.bfloat16)       # (Sp_new, Sp_old)
+        tz = _dot3(_split3(tab_ref[0:2, :]), pm, ((1,), (1,)))
+        tau_row, zth_row = tz[0:1], tz[1:2]
+
+        # R5: reassign points: left (val <= median) -> slot, right ->
+        # slot+1 (cpp:270-283, order-preserving combine); overflow -> done.
+        g5 = _split3(jnp.concatenate(
+            [median, okp, base_slot, axis_x], axis=0))
+
+        def r5_body(t, _):
+            sl = pl.ds(t * tile, tile)
+            p = p_ref[:, sl]
+            oht = p_oht(p).astype(jnp.bfloat16)
+            g = _dot3(g5, oht, ((1,), (0,)))
+            med, okg, slot, ax = g[0:1], g[1:2], g[2:3], g[3:4]
+            v = ax * p[0:1] + (1.0 - ax) * p[1:2]
+            gr = (v > med).astype(jnp.float32)
+            a = (p[3:4] < trash_f).astype(jnp.float32)
+            newseg = okg * (slot + gr) + (1.0 - okg) * trash_f
+            state_ref[3:4, sl] = a * newseg + (1.0 - a) * trash_f
+            state_ref[1:2, sl] = jnp.maximum(
+                state_ref[1:2, sl], a * (1.0 - okg))
+            return 0
+
+        jax.lax.fori_loop(0, ntiles, r5_body, 0)
+
+    # ---- phase 1: per-node stats (cnt, bbox; + seed_cnt if adaptive) ----
+    zth_parts = _split3(zth_row)
 
     def s1_body(t, carry):
         sums, mins, maxs = carry
         sl = pl.ds(t * tile, tile)
         p = p_ref[:, sl]
-        ohb = oht_of(p)
+        ohb = oht_sl(sl)
         oht = ohb.astype(jnp.bfloat16)
-        tg = _dot3(zth_tau, oht, ((1,), (0,)))     # (2, T): [tau, zth]
-        act = p[4:5]
-        seed = act * (p[2:3] < tg[1:2]).astype(jnp.float32)
+        act = act_sl(sl)
+        if adaptive:
+            zth_pt = _dot3(zth_parts, oht, ((1,), (0,)))
+            seed = act * (p[2:3] < zth_pt[0:1]).astype(jnp.float32)
+        else:
+            seed = jnp.zeros_like(act)
         prod = jnp.concatenate(
             [act, seed, jnp.zeros((6, p.shape[1]), jnp.float32)], axis=0)
         sums = sums + _dot3(_split3(prod), oht, ((1,), (1,)))
@@ -627,6 +947,50 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, *, sp, tile,
     cnt, seed_cnt = sums[0:1], sums[1:2]
     xmin, ymin, zmin = mins[0:1], mins[1:2], mins[2:3]
     xmax, ymax, zmax = maxs[0:1], maxs[1:2], maxs[2:3]
+
+    # ---- phase 1b: percentile seed threshold (cpp:156-159) --------------
+    # Non-adaptive configs: z_th = sorted_z[int(percentile * cnt)] +
+    # th_seeds, per node, recomputed at EVERY level from the node's own
+    # points (the reference recurses with the child's own percentile).
+    # The exact order statistic runs in-kernel — previously this path fell
+    # off the fused kernels entirely (round-1 VERDICT item 2).
+    if not adaptive:
+        k_seed = jnp.floor(jnp.float32(seed_percentile) * cnt)
+
+        def count_round_z(lo_rows, shift, first):
+            lo_parts = _split3(lo_rows)
+
+            def body(t, acc):
+                sl = pl.ds(t * tile, tile)
+                p = p_ref[:, sl]
+                oht = oht_sl(sl).astype(jnp.bfloat16)
+                key = _f32_key(p[2:3])
+                a = state_ref[3:4, sl] < trash_f
+                lo_pt = (jnp.zeros_like(key) if first
+                         else _gather_lo(lo_parts, oht))
+                boh = _bucket_onehot(key, lo_pt, shift, first, a)
+                return acc + jax.lax.dot_general(
+                    boh, oht, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            return jax.lax.fori_loop(0, ntiles, body,
+                                     jnp.zeros((128, sp), jnp.float32))
+
+        zstat = _orderstat_rounds(count_round_z, k_seed, sp)
+        zth_row = zstat + jnp.float32(th_seeds)
+        zparts = _split3(zth_row)
+
+        def sc_body(t, acc):
+            sl = pl.ds(t * tile, tile)
+            p = p_ref[:, sl]
+            oht = oht_sl(sl).astype(jnp.bfloat16)
+            act = act_sl(sl)
+            zth_pt = _dot3(zparts, oht, ((1,), (0,)))
+            seed = act * (p[2:3] < zth_pt[0:1]).astype(jnp.float32)
+            return acc + _dot3(_split3(seed), oht, ((1,), (1,)))
+
+        seed_cnt = jax.lax.fori_loop(
+            0, ntiles, sc_body, jnp.zeros((1, sp), jnp.float32))
 
     # ---- phase 2: early-outs (cpp:111-140, reference order) -------------
     real = tab_ref[2:3, :] > 0.5
@@ -656,12 +1020,13 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, *, sp, tile,
         def min_sweep(t, m):
             sl = pl.ds(t * tile, tile)
             p = p_ref[:, sl]
-            ohb = oht_of(p)
+            ohb = oht_sl(sl)
             oht = ohb.astype(jnp.bfloat16)
             def_pt = jax.lax.dot_general(
                 def_row, oht, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            cand = (p[4:5] > 0.5) & (def_pt > 0.5) & (state_ref[2:3, sl] < 0.5)
+            cand = ((act_sl(sl) > 0.5) & (def_pt > 0.5)
+                    & (state_ref[2:3, sl] < 0.5))
             zc = jnp.where(cand, p[2:3], inf)
             return jnp.minimum(m, jnp.min(jnp.where(ohb, zc, inf), axis=1)[None])
 
@@ -672,15 +1037,16 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, *, sp, tile,
         def imin_sweep(t, mi):
             sl = pl.ds(t * tile, tile)
             p = p_ref[:, sl]
-            ohb = oht_of(p)
+            ohb = oht_sl(sl)
             oht = ohb.astype(jnp.bfloat16)
             def_pt = jax.lax.dot_general(
                 def_row, oht, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            cand = (p[4:5] > 0.5) & (def_pt > 0.5) & (state_ref[2:3, sl] < 0.5)
+            cand = ((act_sl(sl) > 0.5) & (def_pt > 0.5)
+                    & (state_ref[2:3, sl] < 0.5))
             m_pt = _dot3(m_parts, oht, ((1,), (0,)))
             is_min = cand & (p[2:3] == m_pt)
-            ic = jnp.where(is_min, p[7:8], inf)
+            ic = jnp.where(is_min, p[6:7], inf)
             return jnp.minimum(mi, jnp.min(jnp.where(ohb, ic, inf), axis=1)[None])
 
         mi = jax.lax.fori_loop(0, ntiles, imin_sweep,
@@ -690,15 +1056,16 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, *, sp, tile,
         def pick_sweep(t, _):
             sl = pl.ds(t * tile, tile)
             p = p_ref[:, sl]
-            ohb = oht_of(p)
+            ohb = oht_sl(sl)
             oht = ohb.astype(jnp.bfloat16)
             def_pt = jax.lax.dot_general(
                 def_row, oht, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            cand = (p[4:5] > 0.5) & (def_pt > 0.5) & (state_ref[2:3, sl] < 0.5)
+            cand = ((act_sl(sl) > 0.5) & (def_pt > 0.5)
+                    & (state_ref[2:3, sl] < 0.5))
             m_pt = _dot3(m_parts, oht, ((1,), (0,)))
             mi_pt = _dot3(mi_parts, oht, ((1,), (0,)))
-            pick = cand & (p[2:3] == m_pt) & (p[7:8] == mi_pt)
+            pick = cand & (p[2:3] == m_pt) & (p[6:7] == mi_pt)
             state_ref[2:3, sl] = jnp.maximum(
                 state_ref[2:3, sl], pick.astype(jnp.float32))
             return 0
@@ -712,17 +1079,17 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, *, sp, tile,
     t4 = _split3(jnp.concatenate([
         finished.astype(jnp.float32), label,
         fit_node.astype(jnp.float32), deficient.astype(jnp.float32),
-        tab_ref[1:2, :], jnp.zeros((3, sp), jnp.float32)], axis=0))
+        zth_row, jnp.zeros((3, sp), jnp.float32)], axis=0))
 
     def s4_body(t, _):
         # all selects in 0/1 f32 arithmetic (Mosaic rejects boolean-valued
         # select_n: "unsupported target bitwidth for truncation")
         sl = pl.ds(t * tile, tile)
         p = p_ref[:, sl]
-        oht = oht_of(p).astype(jnp.bfloat16)
+        oht = oht_sl(sl).astype(jnp.bfloat16)
         g4 = _dot3(t4, oht, ((1,), (0,)))
         fin_pt, lab_pt, fit_pt, def_pt = g4[0:1], g4[1:2], g4[2:3], g4[3:4]
-        act = p[4:5]
+        act = act_sl(sl)
         seed = act * (p[2:3] < g4[4:5]).astype(jnp.float32)
         chosen = state_ref[2:3, sl]
         seed = (def_pt * chosen + (1.0 - def_pt) * seed) * act
@@ -739,7 +1106,6 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, *, sp, tile,
 
     # ---- phase 5: iterative fit (cpp:186-217), as in _mega_kernel -------
     fit_row = fit_node.astype(jnp.float32)
-    tau_row = tab_ref[0:1, :]
 
     def sweep(tab):
         tparts = _split3(tab)
@@ -749,17 +1115,18 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, *, sp, tile,
             sl = pl.ds(t * tile, tile)
             p = p_ref[:, sl]
             g = state_ref[0:1, sl]
-            oht = oht_of(p).astype(jnp.bfloat16)
+            oht = oht_sl(sl).astype(jnp.bfloat16)
+            act = act_sl(sl)
             gat = _dot3(tparts, oht, ((1,), (0,)))
             dx, dy, dz = p[0:1] - gat[0:1], p[1:2] - gat[1:2], p[2:3] - gat[2:3]
             dist = jnp.abs(dx * gat[3:4] + dy * gat[4:5] + dz * gat[5:6])
-            apply_m = p[4:5] * gat[6:7]
+            apply_m = act * gat[6:7]
             new_g = (dist < gat[7:8]).astype(jnp.float32)
             g2 = apply_m * new_g + (1.0 - apply_m) * g
             state_ref[0:1, sl] = g2
-            gm = g2 * p[4:5]
+            gm = g2 * act
             xg, yg, zg = p[0:1] * gm, p[1:2] * gm, p[2:3] * gm
-            rows = [gm, xg, yg, zg, dist * g * p[4:5],
+            rows = [gm, xg, yg, zg, dist * g * act,
                     apply_m * jnp.abs(new_g - g)]
             if fast:
                 rows += [p[0:1] * xg, p[1:2] * xg, p[2:3] * xg,
@@ -778,8 +1145,8 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, *, sp, tile,
         def body(t, acc):
             sl = pl.ds(t * tile, tile)
             p = p_ref[:, sl]
-            g = state_ref[0:1, sl] * p[4:5]
-            oht = oht_of(p).astype(jnp.bfloat16)
+            g = state_ref[0:1, sl] * act_sl(sl)
+            oht = oht_sl(sl).astype(jnp.bfloat16)
             cg = _dot3(cparts, oht, ((1,), (0,)))
             dx = (p[0:1] - cg[0:1]) * g
             dy = (p[1:2] - cg[1:2]) * g
@@ -835,11 +1202,10 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, *, sp, tile,
 
     def s7_body(t, _):
         sl = pl.ds(t * tile, tile)
-        p = p_ref[:, sl]
-        oht = oht_of(p).astype(jnp.bfloat16)
+        oht = oht_sl(sl).astype(jnp.bfloat16)
         g7 = jax.lax.dot_general(t7, oht, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        fin2 = (p[4:5] > 0.5) & (g7[0:1] > 0.5) & (g7[1:2] < 0.5)
+        fin2 = (act_sl(sl) > 0.5) & (g7[0:1] > 0.5) & (g7[1:2] < 0.5)
         state_ref[1:2, sl] = jnp.maximum(
             state_ref[1:2, sl], fin2.astype(jnp.float32))
         return 0
@@ -848,23 +1214,29 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, *, sp, tile,
 
     stats_ref[:] = jnp.concatenate(
         [split.astype(jnp.float32), gcnt, resid, cnt, seed_cnt,
-         jnp.zeros((3, sp), jnp.float32)], axis=0)
+         tau_row, zth_row, jnp.zeros((1, sp), jnp.float32)], axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "num_segs", "max_iter", "is_level0", "min_seed", "flat_area", "flat_dz",
-    "flat_minpts", "tile", "fast"))
+    "flat_minpts", "tile", "fast", "adaptive", "seed_percentile", "th_seeds",
+    "remap"))
 def level_megakernel(pts: jax.Array, tables: jax.Array, num_segs: int,
                      max_iter: int, is_level0: bool, min_seed: int,
                      flat_area: float, flat_dz: float, flat_minpts: int,
-                     tile: int | None = None, fast: bool = False):
+                     tile: int | None = None, fast: bool = False,
+                     adaptive: bool = True, seed_percentile: float = 0.1,
+                     th_seeds: float = 0.15, remap: bool = False):
     """Run one complete level of the engine in a single kernel launch.
 
-    See the module-level comment above :func:`_level_kernel` for the
-    row contracts.  Returns (state (4, N), stats (8, Sp)).  ``fast`` fuses
-    the covariance into the apply sweep (one sweep per fit iteration;
-    expects patch-center-shifted coordinates — see
-    segment/binning.patch_centers).
+    See the module-level comment above :func:`_level_kernel` for the row
+    contracts.  Returns (state (4, N), stats (8, Sp)).  ``fast`` fuses the
+    covariance into the apply sweep (one sweep per fit iteration; expects
+    patch-center-shifted coordinates — see segment/binning.patch_centers).
+    ``adaptive=False`` computes the reference's percentile seed threshold
+    in-kernel (cpp:156-159); ``remap=True`` executes the PARENT level's
+    splits as a prologue (variance axis, exact median, compact child
+    slots, cpp:237-304) — tables row 6 then carries the parent split mask.
     """
     n = pts.shape[1]
     sp = sp_width(num_segs)
@@ -875,7 +1247,9 @@ def level_megakernel(pts: jax.Array, tables: jax.Array, num_segs: int,
             _level_kernel, sp=sp, tile=tile, max_iter=max_iter,
             is_level0=is_level0, min_seed=min_seed,
             flat_area=float(flat_area), flat_dz=float(flat_dz),
-            flat_minpts=flat_minpts, fast=fast),
+            flat_minpts=flat_minpts, fast=fast, adaptive=adaptive,
+            seed_percentile=float(seed_percentile),
+            th_seeds=float(th_seeds), remap=remap, trash=num_segs - 1),
         grid=(1,),
         in_specs=[
             pl.BlockSpec((8, n), lambda i: (0, 0), memory_space=pltpu.VMEM),

