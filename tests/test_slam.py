@@ -360,3 +360,78 @@ class TestSparsify:
         assert deg0 <= 2, deg0
         # the high-information original closures outrank the padding
         assert (0, 15) in odo or (0, 8) in odo
+
+
+class TestLandmarkGrid:
+    def test_matches_bruteforce_association(self):
+        """The voxel-hash NN index must reproduce the greedy sequential
+        association exactly (same accept/reject, same landmark ids)."""
+        from patchwork_tpu.slam.landmarks import _LandmarkGrid
+
+        rng = np.random.default_rng(0)
+        gate = 1.0
+        grid = _LandmarkGrid(gate)
+        # brute-force twin
+        pos, counts = [], []
+        for step in range(400):
+            w = rng.uniform(-20, 20, 3).astype(np.float32)
+            # occasionally revisit an existing landmark
+            if pos and rng.random() < 0.5:
+                w = pos[int(rng.integers(len(pos)))] + rng.normal(0, 0.3, 3).astype(np.float32)
+            # brute force
+            if pos:
+                d = np.linalg.norm(np.stack(pos) - w, axis=1)
+                jb = int(np.argmin(d))
+                hit_b = d[jb] < gate
+            else:
+                hit_b = False
+            jg = grid.nearest(w)
+            assert (jg >= 0) == hit_b, step
+            if hit_b:
+                assert jg == jb, (step, jg, jb)
+                c = counts[jb]
+                pos[jb] = ((pos[jb] * c + w) / (c + 1)).astype(np.float32)
+                counts[jb] = c + 1
+                grid.update(jg, w)
+                np.testing.assert_allclose(grid.pos[jg], pos[jb], rtol=1e-6)
+            else:
+                grid.insert(w)
+                pos.append(np.asarray(w, np.float32))
+                counts.append(1)
+
+    def test_scales_past_bruteforce(self):
+        # 100-keyframe-scale association finishes fast (the old
+        # per-observation re-stack scan was quadratic)
+        import time
+
+        from patchwork_tpu.slam.landmarks import build_ba_problem
+
+        rng = np.random.default_rng(1)
+        world = rng.uniform(-60, 60, (600, 3)).astype(np.float32)
+        poses = np.tile(np.eye(4, dtype=np.float32), (120, 1, 1))
+        poses[:, 0, 3] = np.linspace(0, 50, 120)
+        obs = []
+        for k in range(120):
+            sel = world[rng.random(len(world)) < 0.3]
+            local = sel - poses[k][:3, 3]
+            obs.append((local + rng.normal(0, 0.05, local.shape)).astype(np.float32))
+        t0 = time.perf_counter()
+        prob, n_obs = build_ba_problem(poses, obs, gate=1.0)
+        dt = time.perf_counter() - t0
+        assert n_obs > 1000
+        assert dt < 10.0, f"association took {dt:.1f}s"
+
+
+class TestSlamBench:
+    def test_end_to_end_small(self):
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "tools"))
+        import slam_bench
+
+        out = slam_bench.run(20, seed=3, ba_iters=2, log=lambda *a: None)
+        assert out["keyframes"] == 20
+        assert out["ate_posegraph_m"] < 0.5
+        assert out["value"] < 0.5

