@@ -69,6 +69,13 @@ def velodyne_like_cloud(
     than the uniform demo cloud (dense near the sensor, ring structure)
     for benchmarking; sensor frame has the ground BELOW the origin like
     KITTI (z ~ -sensor_height).
+
+    Points are emitted in AZIMUTH order — the firing order of a real
+    spinning sensor (and the row order of KITTI velodyne ``.bin`` files
+    and PointCloud2 streams).  The engine is order-independent for
+    correctness, but azimuth order makes polar patches near-contiguous in
+    memory, which the fit kernels' dirty-tile caches exploit
+    (kernels/fit_pallas.py phase 5).
     """
     rng = np.random.default_rng(seed)
     n_obst = int(num_points * obstacle_fraction)
@@ -92,7 +99,11 @@ def velodyne_like_cloud(
     obst[:, 0] = centers[pick, 0] + rng.normal(0, 0.3, n_obst)
     obst[:, 1] = centers[pick, 1] + rng.normal(0, 0.3, n_obst)
     obst[:, 2] = rng.uniform(-sensor_height + 0.2, 1.5, n_obst)
-    return np.concatenate([ground, obst]).astype(np.float32)
+    pts = np.concatenate([ground, obst]).astype(np.float32)
+    # firing order: one revolution, azimuth-major (see docstring)
+    all_az = np.concatenate(
+        [az, np.arctan2(obst[:, 1], obst[:, 0])]).astype(np.float32)
+    return pts[np.argsort(all_az, kind="stable")]
 
 
 def simulate_world(

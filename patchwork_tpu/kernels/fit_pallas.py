@@ -757,7 +757,8 @@ def seg_order_stat(vals: jax.Array, seg: jax.Array, valid: jax.Array,
 #          inherit their parent's, cpp:286-287) for feeding the next level.
 
 
-def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, *, sp, tile,
+def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
+                  aseen_ref, mcache_ref, mseen_ref, *, sp, tile,
                   max_iter, is_level0, min_seed, flat_area, flat_dz,
                   flat_minpts, fast, adaptive, seed_percentile, th_seeds,
                   remap, trash):
@@ -1104,14 +1105,65 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, *, sp, tile,
 
     jax.lax.fori_loop(0, ntiles, s4_body, 0)
 
-    # ---- phase 5: iterative fit (cpp:186-217), as in _mega_kernel -------
+    # ---- phase 5: iterative fit (cpp:186-217), with dirty-tile caches ---
+    #
+    # The convergence loop dominates split-heavy scenes: on a realistic
+    # spinning-LiDAR cloud a couple of dense near-field patches need
+    # 30-50 iterations while everything else converges in <8, yet a naive
+    # loop re-sweeps every tile every iteration.  Each sweep here caches
+    # its per-tile (nrows, Sp) contribution and a per-tile record of the
+    # node VERSIONS it saw (version = how many times that node's plane
+    # table has changed).  A tile is recomputed only when it contains a
+    # node whose version advanced; otherwise its cached contribution is
+    # re-added — bitwise the value a dense sweep would produce (same mask,
+    # same plane, same arithmetic, same tile-order summation), so results
+    # are EXACTLY those of the dense loop.  On azimuth-ordered scans
+    # (how spinning sensors actually stream, so patches are near-
+    # contiguous) the tail iterations touch only the stubborn patches'
+    # few tiles.  The 'changed' row is per-sweep-valued, not state-valued:
+    # it is zeroed in the cache after being counted once.
     fit_row = fit_node.astype(jnp.float32)
+    nrows_a = 16 if fast else 8   # cache blocks: sublane offsets must be 8-aligned
+    pres_a = 12 if fast else 7    # presence (act-count) row index
+    _CH = 5  # index of the 'changed' row
 
-    def sweep(tab):
-        tparts = _split3(tab)
-        nrows = 12 if fast else 8
+    aseen_ref[:] = jnp.full(aseen_ref.shape, -1.0, jnp.float32)
+    mseen_ref[:] = jnp.full(mseen_ref.shape, -1.0, jnp.float32)
+
+    def cached_sweep(ver, cache_ref, seen_ref, nrows, pres_row, compute_tile,
+                     changed_row=None):
+        # the 'changed' row is per-sweep-valued: scale it to zero when
+        # re-adding a clean tile's cache (fresh tiles keep it) — a
+        # read-time row scale avoids a sublane-misaligned single-row store
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (nrows, 1), 0)
 
         def body(t, acc):
+            seen = seen_ref[pl.ds(t * 8, 8), :][0:1]
+            stale = jnp.sum((ver > seen).astype(jnp.float32)) > 0.0
+
+            @pl.when(stale)
+            def _():
+                rows = compute_tile(t)
+                cache_ref[pl.ds(t * nrows, nrows), :] = rows
+                pres = rows[pres_row : pres_row + 1] > 0.0
+                seen_ref[pl.ds(t * 8, 8), :] = jnp.broadcast_to(
+                    jnp.where(pres, ver, big), (8, sp))
+
+            block = cache_ref[pl.ds(t * nrows, nrows), :]
+            if changed_row is not None:
+                fresh = jnp.where(stale, 1.0, 0.0)
+                scale = 1.0 - (ridx == changed_row).astype(jnp.float32) * (
+                    1.0 - fresh)
+                block = block * scale
+            return acc + block
+
+        return jax.lax.fori_loop(0, ntiles, body,
+                                 jnp.zeros((nrows, sp), jnp.float32))
+
+    def sweep(tab, ver):
+        tparts = _split3(tab)
+
+        def compute_tile(t):
             sl = pl.ds(t * tile, tile)
             p = p_ref[:, sl]
             g = state_ref[0:1, sl]
@@ -1131,21 +1183,25 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, *, sp, tile,
             if fast:
                 rows += [p[0:1] * xg, p[1:2] * xg, p[2:3] * xg,
                          p[1:2] * yg, p[2:3] * yg, p[2:3] * zg]
+            if fast:
+                # act (presence) at row 12, zero-pad the block to 16 rows
+                rows += [act] + [jnp.zeros_like(g2)] * 3
             else:
-                rows += [jnp.zeros_like(g2), jnp.zeros_like(g2)]
+                rows += [jnp.zeros_like(g2), act]   # presence at row 7
             prod = jnp.concatenate(rows, axis=0)
-            return acc + _dot3(_split3(prod), oht, ((1,), (1,)))
+            return _dot3(_split3(prod), oht, ((1,), (1,)))
 
-        return jax.lax.fori_loop(0, ntiles, body,
-                                 jnp.zeros((nrows, sp), jnp.float32))
+        return cached_sweep(ver, acache_ref, aseen_ref, nrows_a, pres_a,
+                            compute_tile, changed_row=_CH)
 
-    def m2_sweep(ctab):
+    def m2_sweep(ctab, ver):
         cparts = _split3(ctab)
 
-        def body(t, acc):
+        def compute_tile(t):
             sl = pl.ds(t * tile, tile)
             p = p_ref[:, sl]
-            g = state_ref[0:1, sl] * act_sl(sl)
+            act = act_sl(sl)
+            g = state_ref[0:1, sl] * act
             oht = oht_sl(sl).astype(jnp.bfloat16)
             cg = _dot3(cparts, oht, ((1,), (0,)))
             dx = (p[0:1] - cg[0:1]) * g
@@ -1153,13 +1209,12 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, *, sp, tile,
             dz = (p[2:3] - cg[2:3]) * g
             prod = jnp.concatenate(
                 [dx * dx, dx * dy, dx * dz, dy * dy, dy * dz, dz * dz,
-                 jnp.zeros_like(dx), jnp.zeros_like(dx)], axis=0)
-            return acc + _dot3(_split3(prod), oht, ((1,), (1,)))
+                 jnp.zeros_like(dx), act], axis=0)
+            return _dot3(_split3(prod), oht, ((1,), (1,)))
 
-        return jax.lax.fori_loop(0, ntiles, body,
-                                 jnp.zeros((8, sp), jnp.float32))
+        return cached_sweep(ver, mcache_ref, mseen_ref, 8, 7, compute_tile)
 
-    def make_tab(m1, with_can):
+    def make_tab(m1, with_can, ver):
         gcnt = m1[0:1]
         c = m1[1:4] / jnp.maximum(gcnt, 1.0)
         if fast:
@@ -1167,28 +1222,33 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, *, sp, tile,
         else:
             ctab = jnp.concatenate([c, jnp.zeros((5, sp), jnp.float32)],
                                    axis=0)
-            m2 = m2_sweep(ctab)
+            m2 = m2_sweep(ctab, ver)
         normal = _plane_rows(m2, gcnt)
         can = fit_row * (gcnt >= 3.0).astype(jnp.float32) if with_can \
             else jnp.zeros((1, sp), jnp.float32)
         return jnp.concatenate([c, normal, can, tau_row], axis=0)
 
+    ver1 = jnp.ones((1, sp), jnp.float32)
     m1_0 = sweep(jnp.concatenate(
-        [jnp.zeros((7, sp), jnp.float32), tau_row], axis=0))
+        [jnp.zeros((7, sp), jnp.float32), tau_row], axis=0), ver1)
+    # every node's plane table changes from the zero init -> bump all
+    ver2 = jnp.full((1, sp), 2.0, jnp.float32)
 
     def fcond(st):
-        _, changed, it = st
+        _, changed, it, _ = st
         return changed & (it < max_iter)
 
     def fbody(st):
-        m1, _, it = st
-        m1n = sweep(make_tab(m1, True))
-        return m1n, jnp.sum(m1n[5:6]) > 0.0, it + 1
+        m1, _, it, ver = st
+        m1n = sweep(make_tab(m1, True, ver), ver)
+        ver_n = ver + (m1n[_CH : _CH + 1] > 0.0).astype(jnp.float32)
+        return m1n, jnp.sum(m1n[_CH : _CH + 1]) > 0.0, it + 1, ver_n
 
-    m1, _, _ = jax.lax.while_loop(fcond, fbody, (m1_0, True, jnp.int32(0)))
+    m1, _, _, ver = jax.lax.while_loop(
+        fcond, fbody, (m1_0, True, jnp.int32(0), ver2))
 
     # ---- phase 6: final fit, residual, split decision (cpp:219-235) -----
-    stats_f = sweep(make_tab(m1, False))
+    stats_f = sweep(make_tab(m1, False, ver), ver)
     gcnt = stats_f[0:1]
     resid = stats_f[4:5] / jnp.maximum(gcnt, 1.0)
     resid = jnp.where(gcnt >= 3.0, resid, inf)
@@ -1242,6 +1302,9 @@ def level_megakernel(pts: jax.Array, tables: jax.Array, num_segs: int,
     sp = sp_width(num_segs)
     if tile is None:
         tile = next(t for t in (4096, 2048, 1024, 512, 256, 128) if n % t == 0)
+    ntiles = n // tile
+    nrows_a = 16 if fast else 8
+    nrows_m = 8   # m2 caches only used in exact mode (kept 8-aligned)
     return pl.pallas_call(
         functools.partial(
             _level_kernel, sp=sp, tile=tile, max_iter=max_iter,
@@ -1263,6 +1326,12 @@ def level_megakernel(pts: jax.Array, tables: jax.Array, num_segs: int,
             jax.ShapeDtypeStruct((4, n), jnp.float32),
             jax.ShapeDtypeStruct((8, sp), jnp.float32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((ntiles * nrows_a, sp), jnp.float32),  # apply cache
+            pltpu.VMEM((ntiles * 8, sp), jnp.float32),        # apply seen
+            pltpu.VMEM((ntiles * nrows_m, sp), jnp.float32),  # m2 cache
+            pltpu.VMEM((ntiles * 8, sp), jnp.float32),        # m2 seen
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interp(),
