@@ -758,7 +758,7 @@ def seg_order_stat(vals: jax.Array, seg: jax.Array, valid: jax.Array,
 
 
 def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
-                  aseen_ref, mcache_ref, mseen_ref, *, sp, tile,
+                  mcache_ref, pres_ref, words_ref, *, sp, tile,
                   max_iter, is_level0, min_seed, flat_area, flat_dz,
                   flat_minpts, fast, adaptive, seed_percentile, th_seeds,
                   remap, trash):
@@ -1076,78 +1076,99 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
 
     jax.lax.while_loop(trip_cond, trip_body, (any_def, jnp.int32(0)))
 
-    # ---- phase 4: write early-out labels + seed-init (cpp:143-184) ------
+    # ---- phase 4: early-out labels + seed-init (cpp:143-184), fused -----
+    # with the first-moment sweep of the fit loop: see seed_tile below.
     t4 = _split3(jnp.concatenate([
         finished.astype(jnp.float32), label,
         fit_node.astype(jnp.float32), deficient.astype(jnp.float32),
         zth_row, jnp.zeros((3, sp), jnp.float32)], axis=0))
-
-    def s4_body(t, _):
-        # all selects in 0/1 f32 arithmetic (Mosaic rejects boolean-valued
-        # select_n: "unsupported target bitwidth for truncation")
-        sl = pl.ds(t * tile, tile)
-        p = p_ref[:, sl]
-        oht = oht_sl(sl).astype(jnp.bfloat16)
-        g4 = _dot3(t4, oht, ((1,), (0,)))
-        fin_pt, lab_pt, fit_pt, def_pt = g4[0:1], g4[1:2], g4[2:3], g4[3:4]
-        act = act_sl(sl)
-        seed = act * (p[2:3] < g4[4:5]).astype(jnp.float32)
-        chosen = state_ref[2:3, sl]
-        seed = (def_pt * chosen + (1.0 - def_pt) * seed) * act
-        g = state_ref[0:1, sl]
-        w_fin = act * fin_pt
-        g = w_fin * lab_pt + (1.0 - w_fin) * g
-        w_fit = act * fit_pt
-        g = w_fit * seed + (1.0 - w_fit) * g
-        state_ref[0:1, sl] = g
-        state_ref[1:2, sl] = jnp.maximum(state_ref[1:2, sl], w_fin)
-        return 0
-
-    jax.lax.fori_loop(0, ntiles, s4_body, 0)
 
     # ---- phase 5: iterative fit (cpp:186-217), with dirty-tile caches ---
     #
     # The convergence loop dominates split-heavy scenes: on a realistic
     # spinning-LiDAR cloud a couple of dense near-field patches need
     # 30-50 iterations while everything else converges in <8, yet a naive
-    # loop re-sweeps every tile every iteration.  Each sweep here caches
-    # its per-tile (nrows, Sp) contribution and a per-tile record of the
-    # node VERSIONS it saw (version = how many times that node's plane
-    # table has changed).  A tile is recomputed only when it contains a
-    # node whose version advanced; otherwise its cached contribution is
-    # re-added — bitwise the value a dense sweep would produce (same mask,
-    # same plane, same arithmetic, same tile-order summation), so results
-    # are EXACTLY those of the dense loop.  On azimuth-ordered scans
-    # (how spinning sensors actually stream, so patches are near-
-    # contiguous) the tail iterations touch only the stubborn patches'
-    # few tiles.  The 'changed' row is per-sweep-valued, not state-valued:
-    # it is zeroed in the cache after being counted once.
+    # loop re-sweeps every tile every iteration.  Each sweep caches its
+    # per-tile (nrows, Sp) contribution; a tile is recomputed only when it
+    # contains a node whose plane changed in the previous sweep, otherwise
+    # the cached block is re-added — bitwise the value a dense sweep would
+    # produce (same mask, same plane, same arithmetic, same tile-order
+    # summation), so results are EXACTLY those of the dense loop.  (A
+    # stale tile is always refreshed in the sweep that finds it stale, so
+    # "a contained node changed since the previous sweep" is identical to
+    # the version-counter formulation "a contained node's plane changed
+    # since this tile's cache was written".)
+    #
+    # Staleness is decided for ALL tiles at once — one (1,Sp)x(Sp,8*nt)
+    # bf16 matmul of the previous sweep's per-node changed flags against
+    # the per-tile node-presence scratch, bit-packed into int32 words in
+    # SMEM by a handful of cross-lane reductions — so the per-tile test
+    # inside the loop is a pure scalar shift/mask.  The former per-tile
+    # vector->scalar reduction (jnp.sum(ver > seen) > 0) cost ~133 ns/tile
+    # on v5e and dominated converged-tail iterations; the scalar bit test
+    # is ~free, leaving tail sweeps at the stale-tile recompute cost only.
+    # On azimuth-ordered scans (how spinning sensors actually stream, so
+    # patches are near-contiguous) the tail iterations then touch only the
+    # stubborn patches' few tiles.  The 'changed' row is per-sweep-valued,
+    # not state-valued: it is zeroed at read time for clean tiles.
     fit_row = fit_node.astype(jnp.float32)
     nrows_a = 16 if fast else 8   # cache blocks: sublane offsets must be 8-aligned
     pres_a = 12 if fast else 7    # presence (act-count) row index
     _CH = 5  # index of the 'changed' row
+    n_words = (ntiles + 31) // 32
+    if not fast:
+        # The apply cache is fully written by the force-all seed sweep
+        # below, but the m2 cache's first sweep is already staleness-
+        # gated: a tile with no active points is never stale, so its
+        # block would be read uninitialized.  Its true contribution is
+        # exactly zero (no active points), so zero-init is the dense
+        # sweep's value.
+        mcache_ref[:] = jnp.zeros(mcache_ref.shape, jnp.float32)
 
-    aseen_ref[:] = jnp.full(aseen_ref.shape, -1.0, jnp.float32)
-    mseen_ref[:] = jnp.full(mseen_ref.shape, -1.0, jnp.float32)
+    def pack_stale_words(delta_row):
+        """Bit-pack per-tile staleness vs `delta_row` into SMEM words.
 
-    def cached_sweep(ver, cache_ref, seen_ref, nrows, pres_row, compute_tile,
+        delta_row: (1, Sp) 0/1 — nodes whose plane changed in the sweep
+        the caches were last written by.  Tile t is stale iff any node
+        present in t (pres_ref, 8 identical rows per tile) changed.
+        """
+        cnt = jax.lax.dot_general(
+            delta_row.astype(jnp.bfloat16), pres_ref[:],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (1, 8*ntiles)
+        lane = jax.lax.broadcasted_iota(jnp.int32, cnt.shape, 1)
+        t_of = lane >> 3
+        rep = (lane & 7) == 0                # one representative lane/tile
+        bit = (cnt > 0.0).astype(jnp.int32)
+        for i in range(n_words):
+            w = jnp.where(rep & ((t_of >> 5) == i),
+                          jnp.left_shift(bit, t_of & 31), 0)
+            words_ref[i] = jnp.sum(w)
+
+    def cached_sweep(force_all, cache_ref, nrows, pres_row, compute_tile,
                      changed_row=None):
-        # the 'changed' row is per-sweep-valued: scale it to zero when
+        # force_all=True: first sweep of the loop — compute every tile
+        # unconditionally (pres_ref is not yet written).  Otherwise the
+        # caller has pack_stale_words()'d the delta row into words_ref.
+        # The 'changed' row is per-sweep-valued: scale it to zero when
         # re-adding a clean tile's cache (fresh tiles keep it) — a
         # read-time row scale avoids a sublane-misaligned single-row store
         ridx = jax.lax.broadcasted_iota(jnp.int32, (nrows, 1), 0)
 
         def body(t, acc):
-            seen = seen_ref[pl.ds(t * 8, 8), :][0:1]
-            stale = jnp.sum((ver > seen).astype(jnp.float32)) > 0.0
+            if force_all:
+                stale = jnp.bool_(True)
+            else:
+                word = words_ref[t >> 5]
+                stale = (jnp.right_shift(word, t & 31) & 1) > 0
 
             @pl.when(stale)
             def _():
                 rows = compute_tile(t)
                 cache_ref[pl.ds(t * nrows, nrows), :] = rows
-                pres = rows[pres_row : pres_row + 1] > 0.0
-                seen_ref[pl.ds(t * 8, 8), :] = jnp.broadcast_to(
-                    jnp.where(pres, ver, big), (8, sp))
+                pres = (rows[pres_row : pres_row + 1] > 0.0).astype(
+                    jnp.bfloat16)
+                pres_ref[pl.ds(t * 8, 8), :] = jnp.broadcast_to(pres, (8, sp))
 
             block = cache_ref[pl.ds(t * nrows, nrows), :]
             if changed_row is not None:
@@ -1160,7 +1181,7 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
         return jax.lax.fori_loop(0, ntiles, body,
                                  jnp.zeros((nrows, sp), jnp.float32))
 
-    def sweep(tab, ver):
+    def sweep(tab):
         tparts = _split3(tab)
 
         def compute_tile(t):
@@ -1191,10 +1212,10 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
             prod = jnp.concatenate(rows, axis=0)
             return _dot3(_split3(prod), oht, ((1,), (1,)))
 
-        return cached_sweep(ver, acache_ref, aseen_ref, nrows_a, pres_a,
+        return cached_sweep(False, acache_ref, nrows_a, pres_a,
                             compute_tile, changed_row=_CH)
 
-    def m2_sweep(ctab, ver):
+    def m2_sweep(ctab):
         cparts = _split3(ctab)
 
         def compute_tile(t):
@@ -1212,9 +1233,9 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
                  jnp.zeros_like(dx), act], axis=0)
             return _dot3(_split3(prod), oht, ((1,), (1,)))
 
-        return cached_sweep(ver, mcache_ref, mseen_ref, 8, 7, compute_tile)
+        return cached_sweep(False, mcache_ref, 8, 7, compute_tile)
 
-    def make_tab(m1, with_can, ver):
+    def make_tab(m1, with_can):
         gcnt = m1[0:1]
         c = m1[1:4] / jnp.maximum(gcnt, 1.0)
         if fast:
@@ -1222,33 +1243,71 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
         else:
             ctab = jnp.concatenate([c, jnp.zeros((5, sp), jnp.float32)],
                                    axis=0)
-            m2 = m2_sweep(ctab, ver)
+            m2 = m2_sweep(ctab)
         normal = _plane_rows(m2, gcnt)
         can = fit_row * (gcnt >= 3.0).astype(jnp.float32) if with_can \
             else jnp.zeros((1, sp), jnp.float32)
         return jnp.concatenate([c, normal, can, tau_row], axis=0)
 
-    ver1 = jnp.ones((1, sp), jnp.float32)
-    m1_0 = sweep(jnp.concatenate(
-        [jnp.zeros((7, sp), jnp.float32), tau_row], axis=0), ver1)
-    # every node's plane table changes from the zero init -> bump all
-    ver2 = jnp.full((1, sp), 2.0, jnp.float32)
+    def seed_tile(t):
+        # Phase 4's per-point work (early-out labels + seed-init, all
+        # selects in 0/1 f32 arithmetic — Mosaic rejects boolean-valued
+        # select_n) fused with the fit loop's first moment sweep: one
+        # one-hot generation and one loop pass instead of two.  The old
+        # standalone first sweep ran with an all-zero plane table, so its
+        # dist and changed rows were exactly 0 and it left g untouched —
+        # the rows built here are bitwise that sweep's.
+        sl = pl.ds(t * tile, tile)
+        p = p_ref[:, sl]
+        oht = oht_sl(sl).astype(jnp.bfloat16)
+        g4 = _dot3(t4, oht, ((1,), (0,)))
+        fin_pt, lab_pt, fit_pt, def_pt = g4[0:1], g4[1:2], g4[2:3], g4[3:4]
+        act = act_sl(sl)
+        seed = act * (p[2:3] < g4[4:5]).astype(jnp.float32)
+        chosen = state_ref[2:3, sl]
+        seed = (def_pt * chosen + (1.0 - def_pt) * seed) * act
+        g = state_ref[0:1, sl]
+        w_fin = act * fin_pt
+        g = w_fin * lab_pt + (1.0 - w_fin) * g
+        w_fit = act * fit_pt
+        g = w_fit * seed + (1.0 - w_fit) * g
+        state_ref[0:1, sl] = g
+        state_ref[1:2, sl] = jnp.maximum(state_ref[1:2, sl], w_fin)
+        gm = g * act
+        xg, yg, zg = p[0:1] * gm, p[1:2] * gm, p[2:3] * gm
+        zero = jnp.zeros_like(gm)
+        rows = [gm, xg, yg, zg, zero, zero]
+        if fast:
+            rows += [p[0:1] * xg, p[1:2] * xg, p[2:3] * xg,
+                     p[1:2] * yg, p[2:3] * yg, p[2:3] * zg]
+            rows += [act, zero, zero, zero]
+        else:
+            rows += [zero, act]
+        prod = jnp.concatenate(rows, axis=0)
+        return _dot3(_split3(prod), oht, ((1,), (1,)))
+
+    m1_0 = cached_sweep(True, acache_ref, nrows_a, pres_a, seed_tile,
+                        changed_row=_CH)
+    # every node's plane table changes from the zero init -> all stale
+    delta0 = jnp.ones((1, sp), jnp.float32)
 
     def fcond(st):
         _, changed, it, _ = st
         return changed & (it < max_iter)
 
     def fbody(st):
-        m1, _, it, ver = st
-        m1n = sweep(make_tab(m1, True, ver), ver)
-        ver_n = ver + (m1n[_CH : _CH + 1] > 0.0).astype(jnp.float32)
-        return m1n, jnp.sum(m1n[_CH : _CH + 1]) > 0.0, it + 1, ver_n
+        m1, _, it, delta = st
+        pack_stale_words(delta)
+        m1n = sweep(make_tab(m1, True))
+        delta_n = (m1n[_CH : _CH + 1] > 0.0).astype(jnp.float32)
+        return m1n, jnp.sum(m1n[_CH : _CH + 1]) > 0.0, it + 1, delta_n
 
-    m1, _, _, ver = jax.lax.while_loop(
-        fcond, fbody, (m1_0, True, jnp.int32(0), ver2))
+    m1, _, _, delta = jax.lax.while_loop(
+        fcond, fbody, (m1_0, True, jnp.int32(0), delta0))
 
     # ---- phase 6: final fit, residual, split decision (cpp:219-235) -----
-    stats_f = sweep(make_tab(m1, False, ver), ver)
+    pack_stale_words(delta)
+    stats_f = sweep(make_tab(m1, False))
     gcnt = stats_f[0:1]
     resid = stats_f[4:5] / jnp.maximum(gcnt, 1.0)
     resid = jnp.where(gcnt >= 3.0, resid, inf)
@@ -1328,9 +1387,9 @@ def level_megakernel(pts: jax.Array, tables: jax.Array, num_segs: int,
         ),
         scratch_shapes=[
             pltpu.VMEM((ntiles * nrows_a, sp), jnp.float32),  # apply cache
-            pltpu.VMEM((ntiles * 8, sp), jnp.float32),        # apply seen
             pltpu.VMEM((ntiles * nrows_m, sp), jnp.float32),  # m2 cache
-            pltpu.VMEM((ntiles * 8, sp), jnp.float32),        # m2 seen
+            pltpu.VMEM((ntiles * 8, sp), jnp.bfloat16),       # node presence
+            pltpu.SMEM(((ntiles + 31) // 32,), jnp.int32),    # stale words
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

@@ -141,18 +141,24 @@ class Visualization:
         x_min, y_min = pts[:, 0].min() - pad, pts[:, 1].min() - pad
         x_max, y_max = pts[:, 0].max() + pad, pts[:, 1].max() + pad
 
-        for p in pts:
-            px, py = self.world_to_pixel(p, w, h, x_min, y_min, x_max, y_max)
-            if point_size <= 1.0:
-                image[py, px] = color
-            else:
-                r = int(point_size)
-                yy, xx = np.ogrid[-r : r + 1, -r : r + 1]
-                disk = yy * yy + xx * xx <= r * r
-                y0, y1 = max(py - r, 0), min(py + r + 1, h)
-                x0, x1 = max(px - r, 0), min(px + r + 1, w)
-                image[y0:y1, x0:x1][disk[
-                    y0 - (py - r) : disk.shape[0] - ((py + r + 1) - y1),
-                    x0 - (px - r) : disk.shape[1] - ((px + r + 1) - x1),
-                ]] = color
+        # Vectorized world_to_pixel (same truncation + clamp as the scalar
+        # helper above / drawPoints, cpp:175-218) for the whole batch.
+        px = ((pts[:, 0] - x_min) / (x_max - x_min) * w).astype(np.int64)
+        py = ((1.0 - (pts[:, 1] - y_min) / (y_max - y_min)) * h).astype(
+            np.int64)
+        px = np.clip(px, 0, w - 1)
+        py = np.clip(py, 0, h - 1)
+
+        if point_size <= 1.0:
+            image[py, px] = color
+        else:
+            r = int(point_size)
+            yy, xx = np.ogrid[-r : r + 1, -r : r + 1]
+            dyy, dxx = np.nonzero(yy * yy + xx * xx <= r * r)
+            # one (P, disk) index grid; out-of-bounds disk pixels are
+            # skipped, matching the per-point window clipping
+            iy = py[:, None] + (dyy[None, :] - r)
+            ix = px[:, None] + (dxx[None, :] - r)
+            ok = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
+            image[iy[ok], ix[ok]] = color
         return image

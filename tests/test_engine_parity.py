@@ -105,6 +105,27 @@ class TestEngineParity:
         np.testing.assert_array_equal(np.asarray(res.ground)[:4000], g_o)
         assert not np.asarray(res.ground)[4000:].any()
 
+    @pytest.mark.parametrize("fast", [False, True])
+    def test_fused_padded_capacity_trailing_tiles(self, fast):
+        # Regression: with whole trailing kernel tiles made of invalid
+        # padding (the api.RecursivePatchwork capacity path), those tiles
+        # are never stale in the fused kernel's dirty-tile scheme, so
+        # their cache blocks must be initialized — an uninitialized m2
+        # cache block re-added into the covariance accumulation poisoned
+        # every plane (caught in exact mode, 2026-08).
+        pts = demo_point_cloud(4000, seed=3)
+        cap = 8192  # tile 4096 -> tile 1 entirely invalid padding
+        padded = np.zeros((cap, 3), np.float32)
+        padded[:4000] = pts
+        valid = np.zeros(cap, bool)
+        valid[:4000] = True
+        cfg = PatchworkConfig(fast_covariance=fast)
+        res = make_filter_ground(cfg, impl="fused")(
+            jnp.asarray(padded), jnp.asarray(valid))
+        g_o, *_ = filter_ground_oracle(pts, cfg)
+        np.testing.assert_array_equal(np.asarray(res.ground)[:4000], g_o)
+        assert not np.asarray(res.ground)[4000:].any()
+
     def test_counts_conserved(self):
         # reference test assertions (test_recursive_patchwork.cpp:74-76)
         pts = demo_point_cloud(5000, seed=21)
