@@ -16,6 +16,7 @@ from patchwork_tpu.parallel.mesh import make_mesh, scan_batch_sharding
 from patchwork_tpu.parallel.sharded import (
     make_sharded_filter_ground,
     make_sharded_pipeline,
+    make_shardmap_fused,
 )
 
 pytestmark = pytest.mark.skipif(
@@ -69,6 +70,48 @@ class TestSharded:
             g_cnt, np.asarray(res.ground).sum(axis=1)
         )
         assert (g_cnt > 0).all() and (ng_cnt > 0).all()
+
+    def test_shardmap_fused_dp_bitparity(self):
+        """The production multi-chip path: fused mega-kernel per device
+        under dp shard_map — masks bit-identical to the single-device
+        fused engine AND the oracle (VERDICT r2 item 1)."""
+        from patchwork_tpu.segment.engine import make_filter_ground_batched
+
+        mesh = make_mesh(8, dp=8, sp=1)
+        xyz, valid = batch(b=8, n=1024)
+        res = make_shardmap_fused(CFG, mesh)(xyz, valid)
+        g = np.asarray(res.ground)
+        g_single = np.asarray(
+            make_filter_ground_batched(CFG, impl="fused")(xyz, valid).ground)
+        np.testing.assert_array_equal(g, g_single)
+        g_o, *_ = filter_ground_oracle(np.asarray(xyz[0]), CFG)
+        np.testing.assert_array_equal(g[0], g_o)
+
+    def test_shardmap_fused_with_counts(self):
+        mesh = make_mesh(8, dp=4, sp=2)  # sp>1: replicated over sp
+        xyz, valid = batch(b=4, n=1024)
+        res, g_cnt, ng_cnt = make_shardmap_fused(
+            CFG, mesh, with_counts=True)(xyz, valid)
+        np.testing.assert_array_equal(
+            np.asarray(g_cnt), np.asarray(res.ground).sum(axis=1))
+        assert (np.asarray(g_cnt) > 0).all()
+
+    def test_fused_routing(self):
+        """shard_points=False + segment_impl='fused' routes through the
+        shard_map fused engine; sp>1 falls back to GSPMD onehot."""
+        cfg = CFG.replace(segment_impl="fused")
+        mesh = make_mesh(8, dp=8, sp=1)
+        xyz, valid = batch(b=8, n=1024)
+        res = make_sharded_filter_ground(cfg, mesh, shard_points=False)(
+            xyz, valid)
+        g_o, *_ = filter_ground_oracle(np.asarray(xyz[0]), CFG)
+        np.testing.assert_array_equal(np.asarray(res.ground)[0], g_o)
+        # sp>1 must not crash trying to shard a pallas_call
+        mesh2 = make_mesh(8, dp=4, sp=2)
+        res2 = make_sharded_filter_ground(cfg, mesh2, shard_points=True)(
+            xyz, valid)
+        np.testing.assert_array_equal(
+            np.asarray(res2.ground), np.asarray(res.ground))
 
     def test_input_shardings_applied(self):
         mesh = make_mesh(8, dp=4, sp=2)
