@@ -27,6 +27,13 @@ import jax.numpy as jnp
 from ..io.native import voxel_downsample_host
 from .ba import BAProblem
 
+from math import floor as _math_floor
+
+try:  # scipy ships in the image; gate anyway per environment rules
+    from scipy.spatial import cKDTree as _cKDTree
+except Exception:  # pragma: no cover - scipy always present in CI image
+    _cKDTree = None
+
 __all__ = ["extract_observations", "build_ba_problem", "refine_with_ba"]
 
 
@@ -101,6 +108,188 @@ class _LandmarkGrid:
             self._key_of[j] = key
 
 
+# Spatial-hash constants shared by the scalar and vectorized paths.
+# Small odd primes: products with cell indices fit in int64 exactly, so
+# the Python-scalar and NumPy hashes agree bit-for-bit.  Collisions only
+# ADD candidates (every candidate is distance-verified), never lose one.
+_HA, _HB, _HC = 0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D
+_OFF27 = np.array(
+    [dx * _HA + dy * _HB + dz * _HC
+     for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+    dtype=np.int64,
+)
+
+
+class _BatchedAssociator:
+    """Exact greedy sequential association, vectorized per keyframe.
+
+    Same semantics as driving `_LandmarkGrid` one observation at a time
+    (the round-2 VERDICT item 7 target was to batch that Python loop):
+
+    - a snapshot cKDTree over all landmark positions answers "nearest
+      CLEAN landmark" for a whole keyframe in one vectorized query;
+    - landmarks moved (running-mean update) or born since the last tree
+      build live in a small "dirty" spatial-hash overlay that the cheap
+      sequential pass checks at current positions — so intra-keyframe
+      inserts/updates are visible to later observations exactly as in
+      the sequential code;
+    - the tree is rebuilt (and the overlay cleared) once the overlay
+      outgrows ~10% of the landmark count.
+
+    Exactness: the first non-dirty hit in the tree's sorted candidate
+    list IS the min over clean landmarks (clean positions never move
+    between rebuilds); dirty landmarks within `gate` of a query lie in
+    the 27 neighboring cells of its cell (cell size = gate), all of
+    which the overlay lookup covers. The rare "all k tree candidates
+    dirty and truncated" case falls back to a full masked scan.
+    """
+
+    _KQ = 8  # tree candidates fetched per observation
+
+    def __init__(self, gate: float, capacity: int = 4096):
+        self.gate = float(gate)
+        self.cell = float(gate)
+        self.pos = np.zeros((capacity, 3), np.float32)
+        self.counts = np.zeros(capacity, np.int64)
+        self.n = 0
+        self._tree = None
+        self._tree_n = 0           # landmarks covered by the tree
+        self._dirty: dict = {}     # id -> packed cell hash (current)
+        self._dcells: dict = {}    # packed cell hash -> list of ids
+
+    # -- scalar cell hash (must match the vectorized one bit-for-bit) --
+    def _hash_of(self, p) -> int:
+        cell = self.cell
+        return (
+            _math_floor(float(p[0]) / cell) * _HA
+            + _math_floor(float(p[1]) / cell) * _HB
+            + _math_floor(float(p[2]) / cell) * _HC
+        )
+
+    def _grow(self, need: int) -> None:
+        if need <= len(self.pos):
+            return
+        cap = len(self.pos)
+        while cap < need:
+            cap *= 2
+        pos = np.zeros((cap, 3), np.float32)
+        pos[: self.n] = self.pos[: self.n]
+        self.pos = pos
+        counts = np.zeros(cap, np.int64)
+        counts[: self.n] = self.counts[: self.n]
+        self.counts = counts
+
+    def _rebuild(self) -> None:
+        self._tree = (
+            _cKDTree(self.pos[: self.n]) if (self.n and _cKDTree) else None
+        )
+        self._tree_n = self.n
+        self._dirty.clear()
+        self._dcells.clear()
+
+    def _mark_dirty(self, j: int, h: int) -> None:
+        old = self._dirty.get(j)
+        if old == h:
+            return
+        if old is not None:
+            self._dcells[old].remove(j)
+        self._dirty[j] = h
+        self._dcells.setdefault(h, []).append(j)
+
+    def associate(self, world: np.ndarray) -> np.ndarray:
+        """Greedy-associate one keyframe's world-frame observations.
+
+        Returns the landmark id of every observation (existing landmarks
+        updated by running mean, unmatched observations inserted), with
+        ids identical to the sequential `_LandmarkGrid` walk.
+        """
+        nw = len(world)
+        ids = np.empty(nw, np.int64)
+        if nw == 0:
+            return ids
+        self._grow(self.n + nw)
+        if self._tree is None or len(self._dirty) > 64 + self.n // 10:
+            self._rebuild()
+        gate = self.gate
+        pos, counts = self.pos, self.counts
+        dirty, dcells = self._dirty, self._dcells
+        tree_n = self._tree_n
+
+        # vectorized snapshot pass: k sorted clean-or-dirty candidates
+        if self._tree is not None:
+            td, ti = self._tree.query(
+                world, k=self._KQ, distance_upper_bound=gate
+            )
+            td_list, ti_list = td.tolist(), ti.tolist()
+        else:
+            td_list = ti_list = None
+        # vectorized 27-neighborhood hashes for the dirty overlay
+        cells = np.floor(world.astype(np.float64) / self.cell).astype(np.int64)
+        hashes = (
+            cells[:, 0] * _HA + cells[:, 1] * _HB + cells[:, 2] * _HC
+        )[:, None] + _OFF27[None, :]
+        h_list = hashes.tolist()
+
+        w64 = world.astype(np.float64)
+        for i in range(nw):
+            wx, wy, wz = w64[i]
+            best_j, best_d = -1, gate
+            if td_list is not None:
+                cand_d, cand_i = td_list[i], ti_list[i]
+                hit = False
+                for q in range(self._KQ):
+                    j = cand_i[q]
+                    if j >= tree_n or cand_d[q] >= best_d:
+                        hit = True  # exhausted within gate -> exact
+                        break
+                    if j in dirty:
+                        continue
+                    best_j, best_d = j, cand_d[q]
+                    hit = True
+                    break
+                if not hit:
+                    # all KQ candidates < gate were dirty; the clean
+                    # minimum may lie beyond the truncated list (rare)
+                    d_all = np.linalg.norm(
+                        pos[:tree_n].astype(np.float64) - w64[i], axis=1
+                    )
+                    if dirty:
+                        dj = [j for j in dirty if j < tree_n]
+                        d_all[dj] = np.inf
+                    j = int(np.argmin(d_all))
+                    if d_all[j] < best_d:
+                        best_j, best_d = j, float(d_all[j])
+            if dcells:
+                for h in h_list[i]:
+                    lst = dcells.get(h)
+                    if lst:
+                        for j in lst:
+                            p = pos[j]
+                            dx = float(p[0]) - wx
+                            dy = float(p[1]) - wy
+                            dz = float(p[2]) - wz
+                            d = (dx * dx + dy * dy + dz * dz) ** 0.5
+                            if d < best_d:
+                                best_j, best_d = j, d
+            if best_j >= 0:
+                c = counts[best_j]
+                new = (pos[best_j] * c + world[i]) / (c + 1)
+                pos[best_j] = new
+                counts[best_j] = c + 1
+                self._mark_dirty(best_j, self._hash_of(new))
+                ids[i] = best_j
+            else:
+                j = self.n
+                pos[j] = world[i]
+                counts[j] = 1
+                self.n = j + 1
+                # the new landmark's position IS the observation, so its
+                # center-cell hash is offset 13 of the precomputed row
+                self._mark_dirty(j, h_list[i][13])
+                ids[i] = j
+        return ids
+
+
 def build_ba_problem(
     poses: np.ndarray,                 # (K, 4, 4) world_T_keyframe
     keyframe_obs: List[np.ndarray],    # per keyframe (n_i, 3) local centroids
@@ -109,55 +298,59 @@ def build_ba_problem(
     pad_multiple: int = 8,
 ) -> Tuple[BAProblem, int]:
     """Associate observations into landmarks; returns (problem, n_real_obs)."""
-    grid = _LandmarkGrid(gate)
-    obs_k, obs_l, obs_p = [], [], []
+    assoc = _BatchedAssociator(gate)
+    ks, ls, ps = [], [], []
 
     for k, obs in enumerate(keyframe_obs):
         if len(obs) == 0:
             continue
+        obs = np.asarray(obs, np.float32)
         R, t = poses[k][:3, :3], poses[k][:3, 3]
-        world = obs @ R.T + t
-        for local, w in zip(obs, world):
-            j = grid.nearest(w)
-            if j >= 0:
-                grid.update(j, w)
-            else:
-                j = grid.insert(w)
-            obs_k.append(k)
-            obs_l.append(j)
-            obs_p.append(local)
-    world_pts, counts = grid.pos, grid.counts
+        world = (obs @ R.T + t).astype(np.float32)
+        ls.append(assoc.associate(world))
+        ks.append(np.full(len(obs), k, np.int64))
+        ps.append(obs)
+    if ks:
+        obs_k = np.concatenate(ks)
+        obs_l = np.concatenate(ls)
+        obs_p = np.concatenate(ps)
+    else:
+        obs_k = obs_l = np.zeros(0, np.int64)
+        obs_p = np.zeros((0, 3), np.float32)
+    world_pts = assoc.pos[: assoc.n]
+    counts = assoc.counts[: assoc.n]
 
     # drop single-observation landmarks (no constraint value)
-    keep = [j for j, c in enumerate(counts) if c >= min_track_length]
-    remap = {j: i for i, j in enumerate(keep)}
-    sel = [i for i, l in enumerate(obs_l) if l in remap]
-    obs_k = [obs_k[i] for i in sel]
-    obs_l = [remap[obs_l[i]] for i in sel]
-    obs_p = [obs_p[i] for i in sel]
+    keep_mask = counts >= min_track_length
+    remap = np.full(assoc.n, -1, np.int64)
+    remap[keep_mask] = np.arange(int(keep_mask.sum()))
+    sel = keep_mask[obs_l] if len(obs_l) else np.zeros(0, bool)
+    obs_k = obs_k[sel]
+    obs_l = remap[obs_l[sel]]
+    obs_p = obs_p[sel]
     points = (
-        np.stack([world_pts[j] for j in keep])
-        if keep else np.zeros((1, 3), np.float32)
+        world_pts[keep_mask].astype(np.float32)
+        if keep_mask.any() else np.zeros((1, 3), np.float32)
     )
 
     n_obs = len(obs_k)
     pad = (-max(n_obs, 1)) % pad_multiple
     if n_obs == 0:
-        obs_k, obs_l, obs_p = [0], [0], [np.zeros(3, np.float32)]
-        n_obs = 0
+        obs_k = obs_l = np.zeros(1, np.int64)
+        obs_p = np.zeros((1, 3), np.float32)
         pad = pad_multiple - 1
-    obs_k += [0] * pad
-    obs_l += [0] * pad
-    obs_p += [np.zeros(3, np.float32)] * pad
+    obs_k = np.concatenate([obs_k, np.zeros(pad, np.int64)])
+    obs_l = np.concatenate([obs_l, np.zeros(pad, np.int64)])
+    obs_p = np.concatenate([obs_p, np.zeros((pad, 3), np.float32)])
     w = np.zeros(len(obs_k), np.float32)
     w[:n_obs] = 1.0
 
     prob = BAProblem(
         poses=jnp.asarray(np.asarray(poses, np.float32)),
         points=jnp.asarray(points.astype(np.float32)),
-        obs_k=jnp.asarray(np.array(obs_k, np.int32)),
-        obs_l=jnp.asarray(np.array(obs_l, np.int32)),
-        obs_p=jnp.asarray(np.stack(obs_p).astype(np.float32)),
+        obs_k=jnp.asarray(obs_k.astype(np.int32)),
+        obs_l=jnp.asarray(obs_l.astype(np.int32)),
+        obs_p=jnp.asarray(obs_p.astype(np.float32)),
         obs_w=jnp.asarray(w),
     )
     return prob, n_obs
