@@ -81,7 +81,9 @@ def main():
     import jax
 
     from patchwork_tpu import PatchworkConfig
-    from patchwork_tpu.io.synthetic import demo_point_cloud, velodyne_like_cloud
+    from patchwork_tpu.io.synthetic import (demo_point_cloud,
+                                            fused_iac_cloud,
+                                            velodyne_like_cloud)
 
     b, n, reps = args.batch, args.points, args.reps
     cfg_fast = PatchworkConfig(fast_covariance=True)
@@ -96,6 +98,10 @@ def main():
             gens[args.cloud], n, b, reps, cfg_exact)
         extra[f"{other}_fast_scans_per_s"], other_scans = _measure(
             gens[other], n, b, reps, cfg_fast)
+        # multi-LiDAR end-to-end (BASELINE configs[3]): merged 3-sensor
+        # IAC scene through the same engine path
+        extra["fused_iac_fast_scans_per_s"], _ = _measure(
+            fused_iac_cloud, n, b, reps, cfg_fast)
 
     vs_baseline = None
     if not args.skip_baseline:

@@ -62,6 +62,57 @@ class TestFusion:
         fused = fusion.fuse([p1, demo_point_cloud(1000, seed=2)])
         assert int(fused.count()) > 0
 
+    def test_iac_three_sensor_end_to_end(self):
+        """BASELINE configs[3] recorded end-to-end: a 3-sensor IAC-style
+        scene (per-sensor extrinsics, overlapping FoV, reference layout
+        lidar_fusion.cpp:20-36) -> fuse_stacked -> engine, with the fused
+        cloud's masks bit-identical to the oracle and the fusion itself
+        matching a NumPy reference transform."""
+        from patchwork_tpu import make_filter_ground
+        from patchwork_tpu.core.config import default_lidar_configs
+        from patchwork_tpu.io.synthetic import iac_three_lidar_scene
+        from patchwork_tpu.oracle.reference import filter_ground_oracle
+
+        clouds = iac_three_lidar_scene(3000, seed=11)
+        cfgs = list(default_lidar_configs())
+        fusion = LidarFusion(cfgs)
+        fused = fusion.fuse(clouds)
+        fx = np.asarray(fused.xyz)
+        fv = np.asarray(fused.valid)
+
+        # fusion parity vs plain NumPy per-sensor transform + ego mask
+        ref_pts, ref_keep = [], []
+        for c, cf in zip(clouds, cfgs):
+            m = rotation_matrix_2d(cf.rotation_angle_deg)
+            w = c @ m[:3, :3].T.astype(np.float32)
+            ref_pts.append(w)
+            ref_keep.append(
+                np.hypot(w[:, 0], w[:, 1]) > np.float32(cf.ego_radius))
+        ref_pts = np.concatenate(ref_pts)
+        ref_keep = np.concatenate(ref_keep)
+        np.testing.assert_allclose(fx, ref_pts, atol=1e-5)
+        np.testing.assert_array_equal(fv, ref_keep)
+        assert fv.sum() < len(fv)          # ego removal really fired
+        # overlapping FoV: all three sensors contribute points in the
+        # +x world wedge (the front sensor's heading)
+        ang = np.arctan2(fx[:, 1], fx[:, 0])
+        n = len(clouds[0])
+        for s in range(3):
+            sel = fv[s * n:(s + 1) * n]
+            a = ang[s * n:(s + 1) * n][sel]
+            assert (np.abs(a) < np.deg2rad(45)).any(), s
+
+        # engine on the fused cloud == oracle on the fused cloud, bitwise
+        # (the oracle has no valid mask; NaN rows are dropped by its
+        # cleanPoints exactly as the engine drops valid=False rows)
+        cfg = PatchworkConfig(filtering_radius=60.0)
+        fx_o = fx.copy()
+        fx_o[~fv] = np.nan
+        g_o, v_o, z_o, p_o = filter_ground_oracle(fx_o, cfg)
+        res = make_filter_ground(cfg)(jnp.asarray(fx), jnp.asarray(fv))
+        np.testing.assert_array_equal(np.asarray(res.ground), g_o)
+        assert g_o.sum() > 1000 and (~g_o & fv).sum() > 100
+
     def test_extrinsics_stack_shape(self):
         cfgs = [LidarConfig(1, "/a", 0.0), LidarConfig(2, "/b", 120.0)]
         assert stack_extrinsics(cfgs).shape == (2, 4, 4)
