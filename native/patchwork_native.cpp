@@ -15,6 +15,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <unordered_map>
 #include <vector>
 
 extern "C" {
@@ -118,6 +119,117 @@ int64_t pw_voxel_downsample(const float* xyz, int64_t n, float voxel_size,
     }
   }
   return out;
+}
+
+// ---------------------------------------------------------------------------
+// Greedy sequential landmark association (SLAM back end).
+//
+// Exact semantics of patchwork_tpu/slam/landmarks._LandmarkGrid: process
+// observations in order; match each to the nearest existing landmark
+// strictly within `gate` (running means included, so earlier observations
+// of the same keyframe are visible), update the running mean (re-bucketing
+// when it crosses a cell), else insert a new landmark.  Cell size == gate,
+// so every in-gate landmark lies in the 27 neighboring cells.  The Python
+// batched path (kd-tree snapshot + dirty overlay) is the fallback; this is
+// the production path for multi-thousand-keyframe maps (VERDICT r2 item 7).
+
+struct PwAssoc {
+  double gate;
+  double inv;                                  // 1 / cell
+  std::vector<float> pos;                      // 3 * L running means
+  std::vector<int64_t> cnt;
+  std::vector<int64_t> key_of;
+  std::unordered_map<int64_t, std::vector<int32_t>> cells;
+};
+
+static inline int64_t pw_assoc_key(double x, double y, double z, double inv) {
+  const int64_t off = 1 << 20;
+  int64_t ix = (int64_t)std::floor(x * inv) + off;
+  int64_t iy = (int64_t)std::floor(y * inv) + off;
+  int64_t iz = (int64_t)std::floor(z * inv) + off;
+  return (ix << 42) | (iy << 21) | iz;
+}
+
+void* pw_assoc_create(double gate) {
+  PwAssoc* a = new PwAssoc();
+  a->gate = gate;
+  a->inv = 1.0 / gate;
+  return a;
+}
+
+void pw_assoc_destroy(void* h) { delete static_cast<PwAssoc*>(h); }
+
+int64_t pw_assoc_size(void* h) {
+  return static_cast<int64_t>(static_cast<PwAssoc*>(h)->cnt.size());
+}
+
+// Associate one keyframe's world-frame observations (n, 3) float32;
+// writes each observation's landmark id into ids_out (n,).
+void pw_assoc_add(void* h, const float* world, int64_t n, int64_t* ids_out) {
+  PwAssoc& a = *static_cast<PwAssoc*>(h);
+  const double g2 = a.gate * a.gate;
+  for (int64_t i = 0; i < n; ++i) {
+    const double wx = world[i * 3], wy = world[i * 3 + 1],
+                 wz = world[i * 3 + 2];
+    const int64_t off = 1 << 20;
+    const int64_t cx = (int64_t)std::floor(wx * a.inv) + off;
+    const int64_t cy = (int64_t)std::floor(wy * a.inv) + off;
+    const int64_t cz = (int64_t)std::floor(wz * a.inv) + off;
+    int32_t best = -1;
+    double best_d2 = g2;
+    for (int64_t dx = -1; dx <= 1; ++dx)
+      for (int64_t dy = -1; dy <= 1; ++dy)
+        for (int64_t dz = -1; dz <= 1; ++dz) {
+          auto it = a.cells.find(((cx + dx) << 42) | ((cy + dy) << 21) |
+                                 (cz + dz));
+          if (it == a.cells.end()) continue;
+          for (int32_t j : it->second) {
+            const double ddx = (double)a.pos[j * 3] - wx;
+            const double ddy = (double)a.pos[j * 3 + 1] - wy;
+            const double ddz = (double)a.pos[j * 3 + 2] - wz;
+            const double d2 = ddx * ddx + ddy * ddy + ddz * ddz;
+            if (d2 < best_d2) { best = j; best_d2 = d2; }
+          }
+        }
+    if (best >= 0) {
+      const double c = (double)a.cnt[best];
+      const double nx = ((double)a.pos[best * 3] * c + wx) / (c + 1.0);
+      const double ny = ((double)a.pos[best * 3 + 1] * c + wy) / (c + 1.0);
+      const double nz = ((double)a.pos[best * 3 + 2] * c + wz) / (c + 1.0);
+      a.pos[best * 3] = (float)nx;
+      a.pos[best * 3 + 1] = (float)ny;
+      a.pos[best * 3 + 2] = (float)nz;
+      a.cnt[best] += 1;
+      const int64_t key = pw_assoc_key(a.pos[best * 3], a.pos[best * 3 + 1],
+                                       a.pos[best * 3 + 2], a.inv);
+      if (key != a.key_of[best]) {
+        auto& old = a.cells[a.key_of[best]];
+        for (size_t k = 0; k < old.size(); ++k)
+          if (old[k] == best) { old.erase(old.begin() + k); break; }
+        a.cells[key].push_back(best);
+        a.key_of[best] = key;
+      }
+      ids_out[i] = best;
+    } else {
+      const int32_t j = (int32_t)a.cnt.size();
+      a.pos.push_back(world[i * 3]);
+      a.pos.push_back(world[i * 3 + 1]);
+      a.pos.push_back(world[i * 3 + 2]);
+      a.cnt.push_back(1);
+      const int64_t key = pw_assoc_key(world[i * 3], world[i * 3 + 1],
+                                       world[i * 3 + 2], a.inv);
+      a.key_of.push_back(key);
+      a.cells[key].push_back(j);
+      ids_out[i] = j;
+    }
+  }
+}
+
+// Export running means (L, 3) float32 and observation counts (L,).
+void pw_assoc_export(void* h, float* pos_out, int64_t* cnt_out) {
+  PwAssoc& a = *static_cast<PwAssoc*>(h);
+  std::memcpy(pos_out, a.pos.data(), a.pos.size() * sizeof(float));
+  std::memcpy(cnt_out, a.cnt.data(), a.cnt.size() * sizeof(int64_t));
 }
 
 }  // extern "C"

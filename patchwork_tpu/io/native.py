@@ -20,6 +20,7 @@ __all__ = [
     "extract_xyz",
     "load_kitti_bin_padded",
     "voxel_downsample_host",
+    "NativeAssociator",
 ]
 
 _LIB_NAME = "_patchwork_native.so"
@@ -68,6 +69,21 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.pw_voxel_downsample.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_float, ctypes.c_void_p,
         ]
+        try:  # associator entry points (absent in pre-r3 cached builds)
+            lib.pw_assoc_create.restype = ctypes.c_void_p
+            lib.pw_assoc_create.argtypes = [ctypes.c_double]
+            lib.pw_assoc_destroy.argtypes = [ctypes.c_void_p]
+            lib.pw_assoc_size.restype = ctypes.c_int64
+            lib.pw_assoc_size.argtypes = [ctypes.c_void_p]
+            lib.pw_assoc_add.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p,
+            ]
+            lib.pw_assoc_export.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ]
+        except AttributeError:
+            pass
         _lib = lib
         return _lib
 
@@ -119,6 +135,51 @@ def load_kitti_bin_padded(path: str, capacity: int) -> Tuple[np.ndarray, np.ndar
     valid = np.zeros(capacity, bool)
     valid[:n] = np.isfinite(pts[:n]).all(axis=1)
     return xyz, valid
+
+
+class NativeAssociator:
+    """Greedy sequential landmark association in C++ (slam back end).
+
+    Exact semantics of slam/landmarks._LandmarkGrid driven one observation
+    at a time (strict-gate nearest over running means, intra-keyframe
+    visibility, running-mean re-bucketing) at native speed.  Raises
+    RuntimeError when the native library (or its associator symbols) is
+    unavailable — callers fall back to the Python batched associator.
+    """
+
+    def __init__(self, gate: float):
+        lib = _load()
+        if lib is None or not hasattr(lib, "pw_assoc_create"):
+            raise RuntimeError("native associator unavailable")
+        self._lib = lib
+        self._h = lib.pw_assoc_create(float(gate))
+
+    def __del__(self):  # pragma: no cover - interpreter teardown
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.pw_assoc_destroy(h)
+            self._h = None
+
+    @property
+    def n(self) -> int:
+        return int(self._lib.pw_assoc_size(self._h))
+
+    def associate(self, world: np.ndarray) -> np.ndarray:
+        world = np.ascontiguousarray(world, np.float32)
+        ids = np.empty(len(world), np.int64)
+        self._lib.pw_assoc_add(
+            self._h, world.ctypes.data, len(world), ids.ctypes.data)
+        return ids
+
+    def export(self):
+        """(pos (L, 3) float32 running means, counts (L,) int64)."""
+        n = self.n
+        pos = np.empty((n, 3), np.float32)
+        cnt = np.empty(n, np.int64)
+        if n:
+            self._lib.pw_assoc_export(
+                self._h, pos.ctypes.data, cnt.ctypes.data)
+        return pos, cnt
 
 
 def voxel_downsample_host(xyz: np.ndarray, voxel_size: float) -> np.ndarray:

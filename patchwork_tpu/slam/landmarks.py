@@ -298,7 +298,12 @@ def build_ba_problem(
     pad_multiple: int = 8,
 ) -> Tuple[BAProblem, int]:
     """Associate observations into landmarks; returns (problem, n_real_obs)."""
-    assoc = _BatchedAssociator(gate)
+    try:
+        from ..io.native import NativeAssociator
+
+        assoc = NativeAssociator(gate)
+    except RuntimeError:
+        assoc = _BatchedAssociator(gate)
     ks, ls, ps = [], [], []
 
     for k, obs in enumerate(keyframe_obs):
@@ -317,8 +322,11 @@ def build_ba_problem(
     else:
         obs_k = obs_l = np.zeros(0, np.int64)
         obs_p = np.zeros((0, 3), np.float32)
-    world_pts = assoc.pos[: assoc.n]
-    counts = assoc.counts[: assoc.n]
+    if hasattr(assoc, "export"):
+        world_pts, counts = assoc.export()
+    else:
+        world_pts = assoc.pos[: assoc.n]
+        counts = assoc.counts[: assoc.n]
 
     # drop single-observation landmarks (no constraint value)
     keep_mask = counts >= min_track_length
