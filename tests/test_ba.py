@@ -138,6 +138,7 @@ class TestLandmarkBA:
         assert 2 <= len(obs) <= 6
         assert (obs[:, 2] > 0.3).all()
 
+    @pytest.mark.slow
     def test_ba_refines_trajectory(self):
         from patchwork_tpu.slam import refine_with_ba
         from patchwork_tpu.slam.ba import ba_residuals

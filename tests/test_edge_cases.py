@@ -94,6 +94,7 @@ class TestExtremeConfigs:
 
 
 class TestOverflowClamp:
+    @pytest.mark.slow
     def test_tiny_node_pool_truncates_gracefully(self):
         """With max_active_nodes_cfg too small for the scene's splits, the
         excess nodes keep their converged masks (documented deviation) —

@@ -106,6 +106,7 @@ class TestEngineParity:
         assert not np.asarray(res.ground)[4000:].any()
 
     @pytest.mark.parametrize("fast", [False, True])
+    @pytest.mark.slow
     def test_fused_padded_capacity_trailing_tiles(self, fast):
         # Regression: with whole trailing kernel tiles made of invalid
         # padding (the api.RecursivePatchwork capacity path), those tiles

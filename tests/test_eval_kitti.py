@@ -57,6 +57,7 @@ class TestEvalKitti:
         assert out["recall"] > 0.9
         assert 0.0 < out["f1"] <= 1.0
 
+    @pytest.mark.slow
     def test_iou_matches_direct_engine_run(self, tmp_path):
         # the tool's aggregation must equal a hand-computed IoU from a
         # direct engine run on the same frames

@@ -55,6 +55,7 @@ class TestPatchCenters:
 
 class TestFastVsExact:
     @pytest.mark.parametrize("gen", [demo_point_cloud, velodyne_like_cloud])
+    @pytest.mark.slow
     def test_iou_vs_exact_fused(self, gen):
         xyz = gen(8192, seed=3)
         g_exact = _run(PatchworkConfig(segment_impl="fused"), xyz)
@@ -63,6 +64,7 @@ class TestFastVsExact:
         )
         assert _iou(g_exact, g_fast) >= 0.999
 
+    @pytest.mark.slow
     def test_iou_vs_oracle(self):
         xyz = demo_point_cloud(8192, seed=7)
         cfg = PatchworkConfig(segment_impl="fused", fast_covariance=True)
@@ -70,6 +72,7 @@ class TestFastVsExact:
         g_oracle = filter_ground_oracle(xyz, cfg)[0]
         assert _iou(g_oracle, g_fast) >= 0.999
 
+    @pytest.mark.slow
     def test_nan_points_excluded(self):
         xyz = demo_point_cloud(4096, seed=1).copy()
         xyz[::17] = np.nan
@@ -79,6 +82,7 @@ class TestFastVsExact:
         g_exact = _run(PatchworkConfig(segment_impl="fused"), xyz)
         assert _iou(g_exact, g) >= 0.999
 
+    @pytest.mark.slow
     def test_non_adaptive_percentile_path(self):
         # percentile seeds force the XLA level body + v1 fit megakernel
         xyz = demo_point_cloud(4096, seed=2)

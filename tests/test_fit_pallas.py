@@ -112,6 +112,7 @@ class TestFusedMoments2:
                                    rtol=2e-5, atol=2e-2)
 
 
+@pytest.mark.slow
 class TestEngineFusedParity:
     CFGS = [
         ("testsuite", PatchworkConfig(filtering_radius=50.0, num_sectors=8,
@@ -237,6 +238,7 @@ def _bimodal_far_scene(n=24000, seed=5):
     return pts.astype(np.float32)
 
 
+@pytest.mark.slow
 class TestEngineFusedSplitSeedMatrix:
     """Round-2 coverage: the in-kernel split execution (remap prologue)
     and the in-kernel percentile seed threshold, jointly and separately,

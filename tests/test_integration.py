@@ -3,6 +3,7 @@
 filtering pipeline vs a NumPy restatement."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -74,6 +75,7 @@ class TestFusionSegmentation:
 
 
 class TestBatchedStreaming:
+    @pytest.mark.slow
     def test_batched_node_matches_single(self):
         scans = [demo_point_cloud(3000, seed=i) for i in range(5)]
         mk = lambda b: PatchworkNode(

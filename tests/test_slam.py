@@ -204,6 +204,7 @@ class TestOdometry:
         ate = odo.trajectory_error(gt)
         assert ate < 0.15, ate
 
+    @pytest.mark.slow
     def test_loop_closure_and_optimize(self):
         world = simulate_world(seed=4, num_pillars=50)
         scans, gt = simulate_sequence(num_frames=5, seed=4, world=world,
@@ -240,6 +241,7 @@ class TestOdometry:
         d = pose[:3, 3] - gt[-1][:3, 3]
         assert np.linalg.norm(d) < 0.2
 
+    @pytest.mark.slow
     def test_automatic_loop_closure_detection(self):
         """Drive a circular loop (small per-frame motion, as a real frame
         rate gives): the detector must find the revisit, verify it by ICP,
@@ -299,6 +301,7 @@ class TestCGSolver:
         assert abs(ate_d - ate_c) < 1e-4
         assert ate_c < float(ate_rmse(g.poses, jnp.asarray(gt)))
 
+    @pytest.mark.slow
     def test_cg_large_graph(self):
         # K where the dense (6K,6K) path starts to hurt; CG stays O(E).
         # A 400-pose circle with 2 closures is gauge-sloppy (flat modes),
@@ -521,6 +524,7 @@ class TestLandmarkGrid:
 
 
 class TestSlamBench:
+    @pytest.mark.slow
     def test_end_to_end_small(self):
         import os
         import sys

@@ -5,6 +5,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 from patchwork_tpu.core.config import PatchworkConfig
 from patchwork_tpu.io.synthetic import simulate_sequence, simulate_world
@@ -73,6 +74,7 @@ class TestCheckpoint:
 
 
 class TestParityTool:
+    @pytest.mark.slow
     def test_runs_and_passes(self, tmp_path):
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         env = dict(os.environ, JAX_PLATFORMS="cpu")
@@ -87,6 +89,7 @@ class TestParityTool:
 
 
 class TestDeviceAndDebug:
+    @pytest.mark.slow
     def test_device_info(self):
         from patchwork_tpu.core.device import (
             accelerator_available,
@@ -119,6 +122,10 @@ class TestDeviceAndDebug:
 
         from patchwork_tpu.utils.debug import assert_finite, debug_nans
 
+        # the 0/0 executable may already be compiled (and cached) WITHOUT
+        # nan-checking by an earlier test; debug_nans only instruments
+        # fresh compilations
+        jax.clear_caches()
         with debug_nans(True):
             with _pytest.raises(FloatingPointError):
                 jax.block_until_ready(jnp.zeros(4) / jnp.zeros(4))

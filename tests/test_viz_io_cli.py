@@ -106,6 +106,7 @@ class TestCLI:
             cwd=cwd, env=env, capture_output=True, text=True, timeout=600,
         )
 
+    @pytest.mark.slow
     def test_demo_patchwork(self, tmp_path):
         r = self.run_cli(
             ["--demo", "--use-patchwork", "--num-points", "3000",
@@ -116,6 +117,7 @@ class TestCLI:
         assert "Ground points:" in r.stdout
         assert (tmp_path / "demo_frame_patchwork.png").exists()
 
+    @pytest.mark.slow
     def test_demo_separate_display(self, tmp_path):
         r = self.run_cli(
             ["--demo", "--use-patchwork", "--separate-display",

@@ -14,6 +14,7 @@ Prints one JSON object with ms-per-batch for every stage.
 """
 
 import argparse
+import functools
 import json
 import math
 import os
@@ -32,6 +33,8 @@ def main():
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--cloud", default="velodyne",
                     choices=["velodyne", "demo"])
+    ap.add_argument("--kernel-sweep", action="store_true",
+                    help="sweep level-0 kernel tile sizes x max_iter")
     args = ap.parse_args()
 
     import jax
@@ -174,15 +177,18 @@ def main():
             jnp.zeros((2, sp0), _F32),
         ], axis=0)
 
-    def lvl0_one(pts, tau_patch, zth_patch, cfg):
+    def lvl0_one_t(pts, tau_patch, zth_patch, cfg, max_iter, tile=None):
         tabs = tables_one(tau_patch, zth_patch, cfg)
         return level_megakernel(
-            pts, tabs, num_p + 1, cfg.max_iter, True,
+            pts, tabs, num_p + 1, max_iter, True,
             cfg.min_seed_points, cfg.flat_area_m2, cfg.flat_dz,
-            cfg.flat_min_points, fast=cfg.fast_covariance,
+            cfg.flat_min_points, tile=tile, fast=cfg.fast_covariance,
             adaptive=cfg.adaptive_seed_height,
             seed_percentile=cfg.seed_percentile, th_seeds=cfg.th_seeds,
             remap=False)
+
+    def lvl0_one(pts, tau_patch, zth_patch, cfg):
+        return lvl0_one_t(pts, tau_patch, zth_patch, cfg, cfg.max_iter)
 
     for name, cfg in (("fast", cfg_fast), ("exact", cfg_exact)):
         lvl0 = jax.jit(jax.vmap(
@@ -190,6 +196,17 @@ def main():
         out[f"level0_kernel_{name}_ms"] = slope_ms(
             lambda: lvl0(pts_b, tau_b, zth_b), lambda r: r[1].sum(),
             args.reps)
+
+    # ---- kernel sweep: per-iteration cost + tile-size sensitivity ----
+    if args.kernel_sweep:
+        for tile in (1024, 2048, 4096):
+            for mi in (1, 2, 4, 8, 16, 32, 64, 100):
+                for name, cfg in (("fast", cfg_fast), ("exact", cfg_exact)):
+                    lvl0 = jax.jit(jax.vmap(functools.partial(
+                        lvl0_one_t, cfg=cfg, max_iter=mi, tile=tile)))
+                    out[f"lvl0_{name}_t{tile}_i{mi}_ms"] = slope_ms(
+                        lambda: lvl0(pts_b, tau_b, zth_b),
+                        lambda r: r[1].sum(), max(6, args.reps // 2))
 
     out["backend"] = jax.devices()[0].device_kind
     out["batch"], out["points"] = b, n
