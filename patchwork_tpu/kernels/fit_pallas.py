@@ -758,12 +758,13 @@ def seg_order_stat(vals: jax.Array, seg: jax.Array, valid: jax.Array,
 
 
 def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
-                  mcache_ref, pres_ref, words_ref, *, sp, tile,
+                  mcache_ref, pres_ref, words_ref, live_ref, *, sp, tile,
                   max_iter, is_level0, min_seed, flat_area, flat_dz,
                   flat_minpts, fast, adaptive, seed_percentile, th_seeds,
                   remap, trash):
     n = p_ref.shape[1]
     ntiles = n // tile
+    n_words = (ntiles + 31) // 32
     inf = jnp.float32(jnp.inf)
     big = jnp.float32(3.0e38)
     trash_f = jnp.float32(trash)
@@ -782,12 +783,36 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
         """(1, T) 0/1 activity from the live seg (trash = inactive)."""
         return (state_ref[3:4, sl] < trash_f).astype(jnp.float32)
 
+    # ---- live-tile skip (remap levels only) ------------------------------
+    # After a split level the only still-active points are those of SPLIT
+    # parents (_level_body marked everything else done), typically a small
+    # azimuth-contiguous subset of the cloud.  The mandatory first remap
+    # sweep (R1) bit-packs per-tile liveness into SMEM; every later sweep
+    # of the level skips dead tiles outright.  A dead tile's contribution
+    # to any accumulation is exactly zero and its ref writes are no-ops
+    # (activity-masked), so skipping is bit-identical to the dense sweep.
+    def tile_live(t):
+        w = live_ref[t >> 5]
+        return (jax.lax.shift_right_logical(w, t & 31) & 1) > 0
+
+    def _maybe(t, carry, go):
+        """Run go() -> new carry (may write refs) only if tile t is live."""
+        if not remap:
+            return go()
+        return jax.lax.cond(tile_live(t), go, lambda: carry)
+
     # ---- phase 0: split execution / remap prologue (cpp:237-304) --------
     if not remap:
         state_ref[3:4, :] = p_ref[3:4, :]
         tau_row = tab_ref[0:1, :]
         zth_row = tab_ref[1:2, :]
     else:
+        for i in range(n_words):
+            live_ref[i] = jnp.int32(0)
+        # R5 only touches live tiles: park every point on trash first so
+        # skipped (dead) tiles read a fully-initialized seg row.
+        state_ref[3:4, :] = jnp.full((1, n), trash_f, jnp.float32)
+
         def p_oht(p):
             return ids == p[3:4]        # (Sp, T) one-hot of PARENT ids
 
@@ -795,13 +820,18 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
         # (population variance, cpp:237-250).  fast mode folds the second
         # moments into one raw-moment sweep (patch-shifted coords keep the
         # cancellation bounded); exact mode keeps the two-pass form.
+        # Also the liveness census: the one sweep that must touch every
+        # tile records which tiles contain any live point.
         nr1 = 5 if fast else 3
 
         def r1_body(t, acc):
             sl = pl.ds(t * tile, tile)
             p = p_ref[:, sl]
-            oht = p_oht(p).astype(jnp.bfloat16)
             a = (p[3:4] < trash_f).astype(jnp.float32)
+            bit = (jnp.sum(a) > 0.0).astype(jnp.int32)
+            w = live_ref[t >> 5]
+            live_ref[t >> 5] = w | jnp.left_shift(bit, t & 31)
+            oht = p_oht(p).astype(jnp.bfloat16)
             xa, ya = p[0:1] * a, p[1:2] * a
             rows = [a, xa, ya]
             if fast:
@@ -821,15 +851,17 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
             c2 = _split3(jnp.concatenate([cx, cy], axis=0))
 
             def r1b_body(t, acc):
-                sl = pl.ds(t * tile, tile)
-                p = p_ref[:, sl]
-                oht = p_oht(p).astype(jnp.bfloat16)
-                a = (p[3:4] < trash_f).astype(jnp.float32)
-                cg = _dot3(c2, oht, ((1,), (0,)))
-                dx = (p[0:1] - cg[0:1]) * a
-                dy = (p[1:2] - cg[1:2]) * a
-                prod = jnp.concatenate([dx * dx, dy * dy], axis=0)
-                return acc + _dot3(_split3(prod), oht, ((1,), (1,)))
+                def go():
+                    sl = pl.ds(t * tile, tile)
+                    p = p_ref[:, sl]
+                    oht = p_oht(p).astype(jnp.bfloat16)
+                    a = (p[3:4] < trash_f).astype(jnp.float32)
+                    cg = _dot3(c2, oht, ((1,), (0,)))
+                    dx = (p[0:1] - cg[0:1]) * a
+                    dy = (p[1:2] - cg[1:2]) * a
+                    prod = jnp.concatenate([dx * dx, dy * dy], axis=0)
+                    return acc + _dot3(_split3(prod), oht, ((1,), (1,)))
+                return _maybe(t, acc, go)
 
             v2 = jax.lax.fori_loop(0, ntiles, r1b_body,
                                    jnp.zeros((2, sp), jnp.float32))
@@ -844,20 +876,22 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
             gparts = _split3(jnp.concatenate([axis_x, lo_rows], axis=0))
 
             def body(t, acc):
-                sl = pl.ds(t * tile, tile)
-                p = p_ref[:, sl]
-                ohb = p_oht(p)
-                oht = ohb.astype(jnp.bfloat16)
-                g = _dot3(gparts, oht, ((1,), (0,)))   # [axis, hi16, lo16]
-                v = g[0:1] * p[0:1] + (1.0 - g[0:1]) * p[1:2]
-                key = _f32_key(v)
-                a = p[3:4] < trash_f
-                lo_pt = (g[1:2].astype(jnp.int32) * 65536
-                         + g[2:3].astype(jnp.int32))
-                boh = _bucket_onehot(key, lo_pt, shift, first, a)
-                return acc + jax.lax.dot_general(
-                    boh, oht, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                def go():
+                    sl = pl.ds(t * tile, tile)
+                    p = p_ref[:, sl]
+                    ohb = p_oht(p)
+                    oht = ohb.astype(jnp.bfloat16)
+                    g = _dot3(gparts, oht, ((1,), (0,)))  # [axis, hi16, lo16]
+                    v = g[0:1] * p[0:1] + (1.0 - g[0:1]) * p[1:2]
+                    key = _f32_key(v)
+                    a = p[3:4] < trash_f
+                    lo_pt = (g[1:2].astype(jnp.int32) * 65536
+                             + g[2:3].astype(jnp.int32))
+                    boh = _bucket_onehot(key, lo_pt, shift, first, a)
+                    return acc + jax.lax.dot_general(
+                        boh, oht, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                return _maybe(t, acc, go)
 
             return jax.lax.fori_loop(0, ntiles, body,
                                      jnp.zeros((128, sp), jnp.float32))
@@ -893,18 +927,20 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
             [median, okp, base_slot, axis_x], axis=0))
 
         def r5_body(t, _):
-            sl = pl.ds(t * tile, tile)
-            p = p_ref[:, sl]
-            oht = p_oht(p).astype(jnp.bfloat16)
-            g = _dot3(g5, oht, ((1,), (0,)))
-            med, okg, slot, ax = g[0:1], g[1:2], g[2:3], g[3:4]
-            v = ax * p[0:1] + (1.0 - ax) * p[1:2]
-            gr = (v > med).astype(jnp.float32)
-            a = (p[3:4] < trash_f).astype(jnp.float32)
-            newseg = okg * (slot + gr) + (1.0 - okg) * trash_f
-            state_ref[3:4, sl] = a * newseg + (1.0 - a) * trash_f
-            state_ref[1:2, sl] = jnp.maximum(
-                state_ref[1:2, sl], a * (1.0 - okg))
+            @pl.when(tile_live(t))
+            def _():
+                sl = pl.ds(t * tile, tile)
+                p = p_ref[:, sl]
+                oht = p_oht(p).astype(jnp.bfloat16)
+                g = _dot3(g5, oht, ((1,), (0,)))
+                med, okg, slot, ax = g[0:1], g[1:2], g[2:3], g[3:4]
+                v = ax * p[0:1] + (1.0 - ax) * p[1:2]
+                gr = (v > med).astype(jnp.float32)
+                a = (p[3:4] < trash_f).astype(jnp.float32)
+                newseg = okg * (slot + gr) + (1.0 - okg) * trash_f
+                state_ref[3:4, sl] = a * newseg + (1.0 - a) * trash_f
+                state_ref[1:2, sl] = jnp.maximum(
+                    state_ref[1:2, sl], a * (1.0 - okg))
             return 0
 
         jax.lax.fori_loop(0, ntiles, r5_body, 0)
@@ -913,32 +949,36 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
     zth_parts = _split3(zth_row)
 
     def s1_body(t, carry):
-        sums, mins, maxs = carry
-        sl = pl.ds(t * tile, tile)
-        p = p_ref[:, sl]
-        ohb = oht_sl(sl)
-        oht = ohb.astype(jnp.bfloat16)
-        act = act_sl(sl)
-        if adaptive:
-            zth_pt = _dot3(zth_parts, oht, ((1,), (0,)))
-            seed = act * (p[2:3] < zth_pt[0:1]).astype(jnp.float32)
-        else:
-            seed = jnp.zeros_like(act)
-        prod = jnp.concatenate(
-            [act, seed, jnp.zeros((6, p.shape[1]), jnp.float32)], axis=0)
-        sums = sums + _dot3(_split3(prod), oht, ((1,), (1,)))
-        sel = ohb & (act > 0.5)
-        new_mins, new_maxs = [], []
-        for ch in range(3):
-            v = p[ch:ch + 1]
-            new_mins.append(jnp.min(jnp.where(sel, v, inf), axis=1))
-            new_maxs.append(jnp.max(jnp.where(sel, v, -inf), axis=1))
-        pad = jnp.full((5, sp), inf, jnp.float32)
-        mins = jnp.minimum(mins, jnp.concatenate(
-            [new_mins[0][None], new_mins[1][None], new_mins[2][None], pad], 0))
-        maxs = jnp.maximum(maxs, jnp.concatenate(
-            [new_maxs[0][None], new_maxs[1][None], new_maxs[2][None], -pad], 0))
-        return sums, mins, maxs
+        def go():
+            sums, mins, maxs = carry
+            sl = pl.ds(t * tile, tile)
+            p = p_ref[:, sl]
+            ohb = oht_sl(sl)
+            oht = ohb.astype(jnp.bfloat16)
+            act = act_sl(sl)
+            if adaptive:
+                zth_pt = _dot3(zth_parts, oht, ((1,), (0,)))
+                seed = act * (p[2:3] < zth_pt[0:1]).astype(jnp.float32)
+            else:
+                seed = jnp.zeros_like(act)
+            prod = jnp.concatenate(
+                [act, seed, jnp.zeros((6, p.shape[1]), jnp.float32)], axis=0)
+            sums2 = sums + _dot3(_split3(prod), oht, ((1,), (1,)))
+            sel = ohb & (act > 0.5)
+            new_mins, new_maxs = [], []
+            for ch in range(3):
+                v = p[ch:ch + 1]
+                new_mins.append(jnp.min(jnp.where(sel, v, inf), axis=1))
+                new_maxs.append(jnp.max(jnp.where(sel, v, -inf), axis=1))
+            pad = jnp.full((5, sp), inf, jnp.float32)
+            mins2 = jnp.minimum(mins, jnp.concatenate(
+                [new_mins[0][None], new_mins[1][None], new_mins[2][None],
+                 pad], 0))
+            maxs2 = jnp.maximum(maxs, jnp.concatenate(
+                [new_maxs[0][None], new_maxs[1][None], new_maxs[2][None],
+                 -pad], 0))
+            return sums2, mins2, maxs2
+        return _maybe(t, carry, go)
 
     sums, mins, maxs = jax.lax.fori_loop(
         0, ntiles, s1_body,
@@ -962,17 +1002,19 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
             lo_parts = _split3(lo_rows)
 
             def body(t, acc):
-                sl = pl.ds(t * tile, tile)
-                p = p_ref[:, sl]
-                oht = oht_sl(sl).astype(jnp.bfloat16)
-                key = _f32_key(p[2:3])
-                a = state_ref[3:4, sl] < trash_f
-                lo_pt = (jnp.zeros_like(key) if first
-                         else _gather_lo(lo_parts, oht))
-                boh = _bucket_onehot(key, lo_pt, shift, first, a)
-                return acc + jax.lax.dot_general(
-                    boh, oht, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                def go():
+                    sl = pl.ds(t * tile, tile)
+                    p = p_ref[:, sl]
+                    oht = oht_sl(sl).astype(jnp.bfloat16)
+                    key = _f32_key(p[2:3])
+                    a = state_ref[3:4, sl] < trash_f
+                    lo_pt = (jnp.zeros_like(key) if first
+                             else _gather_lo(lo_parts, oht))
+                    boh = _bucket_onehot(key, lo_pt, shift, first, a)
+                    return acc + jax.lax.dot_general(
+                        boh, oht, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                return _maybe(t, acc, go)
 
             return jax.lax.fori_loop(0, ntiles, body,
                                      jnp.zeros((128, sp), jnp.float32))
@@ -982,13 +1024,15 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
         zparts = _split3(zth_row)
 
         def sc_body(t, acc):
-            sl = pl.ds(t * tile, tile)
-            p = p_ref[:, sl]
-            oht = oht_sl(sl).astype(jnp.bfloat16)
-            act = act_sl(sl)
-            zth_pt = _dot3(zparts, oht, ((1,), (0,)))
-            seed = act * (p[2:3] < zth_pt[0:1]).astype(jnp.float32)
-            return acc + _dot3(_split3(seed), oht, ((1,), (1,)))
+            def go():
+                sl = pl.ds(t * tile, tile)
+                p = p_ref[:, sl]
+                oht = oht_sl(sl).astype(jnp.bfloat16)
+                act = act_sl(sl)
+                zth_pt = _dot3(zparts, oht, ((1,), (0,)))
+                seed = act * (p[2:3] < zth_pt[0:1]).astype(jnp.float32)
+                return acc + _dot3(_split3(seed), oht, ((1,), (1,)))
+            return _maybe(t, acc, go)
 
         seed_cnt = jax.lax.fori_loop(
             0, ntiles, sc_body, jnp.zeros((1, sp), jnp.float32))
@@ -1019,57 +1063,65 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
         _, r = st
 
         def min_sweep(t, m):
-            sl = pl.ds(t * tile, tile)
-            p = p_ref[:, sl]
-            ohb = oht_sl(sl)
-            oht = ohb.astype(jnp.bfloat16)
-            def_pt = jax.lax.dot_general(
-                def_row, oht, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            cand = ((act_sl(sl) > 0.5) & (def_pt > 0.5)
-                    & (state_ref[2:3, sl] < 0.5))
-            zc = jnp.where(cand, p[2:3], inf)
-            return jnp.minimum(m, jnp.min(jnp.where(ohb, zc, inf), axis=1)[None])
+            def go():
+                sl = pl.ds(t * tile, tile)
+                p = p_ref[:, sl]
+                ohb = oht_sl(sl)
+                oht = ohb.astype(jnp.bfloat16)
+                def_pt = jax.lax.dot_general(
+                    def_row, oht, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                cand = ((act_sl(sl) > 0.5) & (def_pt > 0.5)
+                        & (state_ref[2:3, sl] < 0.5))
+                zc = jnp.where(cand, p[2:3], inf)
+                return jnp.minimum(
+                    m, jnp.min(jnp.where(ohb, zc, inf), axis=1)[None])
+            return _maybe(t, m, go)
 
         m = jax.lax.fori_loop(0, ntiles, min_sweep,
                               jnp.full((1, sp), inf, jnp.float32))
         m_parts = _split3(jnp.where(jnp.isfinite(m), m, big))
 
         def imin_sweep(t, mi):
-            sl = pl.ds(t * tile, tile)
-            p = p_ref[:, sl]
-            ohb = oht_sl(sl)
-            oht = ohb.astype(jnp.bfloat16)
-            def_pt = jax.lax.dot_general(
-                def_row, oht, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            cand = ((act_sl(sl) > 0.5) & (def_pt > 0.5)
-                    & (state_ref[2:3, sl] < 0.5))
-            m_pt = _dot3(m_parts, oht, ((1,), (0,)))
-            is_min = cand & (p[2:3] == m_pt)
-            ic = jnp.where(is_min, p[6:7], inf)
-            return jnp.minimum(mi, jnp.min(jnp.where(ohb, ic, inf), axis=1)[None])
+            def go():
+                sl = pl.ds(t * tile, tile)
+                p = p_ref[:, sl]
+                ohb = oht_sl(sl)
+                oht = ohb.astype(jnp.bfloat16)
+                def_pt = jax.lax.dot_general(
+                    def_row, oht, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                cand = ((act_sl(sl) > 0.5) & (def_pt > 0.5)
+                        & (state_ref[2:3, sl] < 0.5))
+                m_pt = _dot3(m_parts, oht, ((1,), (0,)))
+                is_min = cand & (p[2:3] == m_pt)
+                ic = jnp.where(is_min, p[6:7], inf)
+                return jnp.minimum(
+                    mi, jnp.min(jnp.where(ohb, ic, inf), axis=1)[None])
+            return _maybe(t, mi, go)
 
         mi = jax.lax.fori_loop(0, ntiles, imin_sweep,
                                jnp.full((1, sp), inf, jnp.float32))
         mi_parts = _split3(jnp.where(jnp.isfinite(mi), mi, big))
 
         def pick_sweep(t, _):
-            sl = pl.ds(t * tile, tile)
-            p = p_ref[:, sl]
-            ohb = oht_sl(sl)
-            oht = ohb.astype(jnp.bfloat16)
-            def_pt = jax.lax.dot_general(
-                def_row, oht, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            cand = ((act_sl(sl) > 0.5) & (def_pt > 0.5)
-                    & (state_ref[2:3, sl] < 0.5))
-            m_pt = _dot3(m_parts, oht, ((1,), (0,)))
-            mi_pt = _dot3(mi_parts, oht, ((1,), (0,)))
-            pick = cand & (p[2:3] == m_pt) & (p[6:7] == mi_pt)
-            state_ref[2:3, sl] = jnp.maximum(
-                state_ref[2:3, sl], pick.astype(jnp.float32))
-            return 0
+            def go():
+                sl = pl.ds(t * tile, tile)
+                p = p_ref[:, sl]
+                ohb = oht_sl(sl)
+                oht = ohb.astype(jnp.bfloat16)
+                def_pt = jax.lax.dot_general(
+                    def_row, oht, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                cand = ((act_sl(sl) > 0.5) & (def_pt > 0.5)
+                        & (state_ref[2:3, sl] < 0.5))
+                m_pt = _dot3(m_parts, oht, ((1,), (0,)))
+                mi_pt = _dot3(mi_parts, oht, ((1,), (0,)))
+                pick = cand & (p[2:3] == m_pt) & (p[6:7] == mi_pt)
+                state_ref[2:3, sl] = jnp.maximum(
+                    state_ref[2:3, sl], pick.astype(jnp.float32))
+                return 0
+            return _maybe(t, 0, go)
 
         jax.lax.fori_loop(0, ntiles, pick_sweep, 0)
         return jnp.bool_(True), r + 1
@@ -1115,7 +1167,6 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
     nrows_a = 16 if fast else 8   # cache blocks: sublane offsets must be 8-aligned
     pres_a = 12 if fast else 7    # presence (act-count) row index
     _CH = 5  # index of the 'changed' row
-    n_words = (ntiles + 31) // 32
     if not fast:
         # The apply cache is fully written by the force-all seed sweep
         # below, but the m2 cache's first sweep is already staleness-
@@ -1156,27 +1207,33 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
         ridx = jax.lax.broadcasted_iota(jnp.int32, (nrows, 1), 0)
 
         def body(t, acc):
-            if force_all:
-                stale = jnp.bool_(True)
-            else:
-                word = words_ref[t >> 5]
-                stale = (jnp.right_shift(word, t & 31) & 1) > 0
+            def go():
+                if force_all:
+                    stale = jnp.bool_(True)
+                else:
+                    word = words_ref[t >> 5]
+                    stale = (jnp.right_shift(word, t & 31) & 1) > 0
 
-            @pl.when(stale)
-            def _():
-                rows = compute_tile(t)
-                cache_ref[pl.ds(t * nrows, nrows), :] = rows
-                pres = (rows[pres_row : pres_row + 1] > 0.0).astype(
-                    jnp.bfloat16)
-                pres_ref[pl.ds(t * 8, 8), :] = jnp.broadcast_to(pres, (8, sp))
+                @pl.when(stale)
+                def _():
+                    rows = compute_tile(t)
+                    cache_ref[pl.ds(t * nrows, nrows), :] = rows
+                    pres = (rows[pres_row : pres_row + 1] > 0.0).astype(
+                        jnp.bfloat16)
+                    pres_ref[pl.ds(t * 8, 8), :] = jnp.broadcast_to(
+                        pres, (8, sp))
 
-            block = cache_ref[pl.ds(t * nrows, nrows), :]
-            if changed_row is not None:
-                fresh = jnp.where(stale, 1.0, 0.0)
-                scale = 1.0 - (ridx == changed_row).astype(jnp.float32) * (
-                    1.0 - fresh)
-                block = block * scale
-            return acc + block
+                block = cache_ref[pl.ds(t * nrows, nrows), :]
+                if changed_row is not None:
+                    fresh = jnp.where(stale, 1.0, 0.0)
+                    scale = 1.0 - (ridx == changed_row).astype(
+                        jnp.float32) * (1.0 - fresh)
+                    block = block * scale
+                return acc + block
+
+            # dead tiles never write their cache/pres blocks and never add
+            # them back: their contribution is exactly zero every sweep
+            return _maybe(t, acc, go)
 
         return jax.lax.fori_loop(0, ntiles, body,
                                  jnp.zeros((nrows, sp), jnp.float32))
@@ -1320,14 +1377,16 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
         jnp.zeros((6, sp), jnp.float32)], axis=0).astype(jnp.bfloat16)
 
     def s7_body(t, _):
-        sl = pl.ds(t * tile, tile)
-        oht = oht_sl(sl).astype(jnp.bfloat16)
-        g7 = jax.lax.dot_general(t7, oht, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        fin2 = (act_sl(sl) > 0.5) & (g7[0:1] > 0.5) & (g7[1:2] < 0.5)
-        state_ref[1:2, sl] = jnp.maximum(
-            state_ref[1:2, sl], fin2.astype(jnp.float32))
-        return 0
+        def go():
+            sl = pl.ds(t * tile, tile)
+            oht = oht_sl(sl).astype(jnp.bfloat16)
+            g7 = jax.lax.dot_general(t7, oht, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            fin2 = (act_sl(sl) > 0.5) & (g7[0:1] > 0.5) & (g7[1:2] < 0.5)
+            state_ref[1:2, sl] = jnp.maximum(
+                state_ref[1:2, sl], fin2.astype(jnp.float32))
+            return 0
+        return _maybe(t, 0, go)
 
     jax.lax.fori_loop(0, ntiles, s7_body, 0)
 
@@ -1390,6 +1449,7 @@ def level_megakernel(pts: jax.Array, tables: jax.Array, num_segs: int,
             pltpu.VMEM((ntiles * nrows_m, sp), jnp.float32),  # m2 cache
             pltpu.VMEM((ntiles * 8, sp), jnp.bfloat16),       # node presence
             pltpu.SMEM(((ntiles + 31) // 32,), jnp.int32),    # stale words
+            pltpu.SMEM(((ntiles + 31) // 32,), jnp.int32),    # live words
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
