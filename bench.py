@@ -42,11 +42,17 @@ def _measure(gen, n, b, reps, cfg, seeds=None):
         return float(r.ground.sum())
 
     sync(fn(xyz, valid))  # warmup/compile
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        res = fn(xyz, valid)
-    sync(res)
-    dt = time.perf_counter() - t0
+    # Slope timing (t(2R) - t(R)) / R: the tunnel's constant ramp/fetch
+    # cost cancels, leaving the steady-state per-step rate (CLAUDE.md:
+    # single-run timings are fetch/ramp-dominated on the axon tunnel).
+    t_at = {}
+    for k in (reps, 2 * reps):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            res = fn(xyz, valid)
+        sync(res)
+        t_at[k] = time.perf_counter() - t0
+    dt = max(t_at[2 * reps] - t_at[reps], 1e-9)
     return reps * b / dt, scans
 
 

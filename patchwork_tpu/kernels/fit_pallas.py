@@ -525,7 +525,8 @@ def fit_level_megakernel(p: jax.Array, g0: jax.Array, num_segs: int,
     n = p.shape[1]
     sp = sp_width(num_segs)
     if tile is None:
-        tile = next(t for t in (4096, 2048, 1024, 512, 256, 128) if n % t == 0)
+        tile = next(t for t in (8192, 4096, 2048, 1024, 512, 256, 128)
+                    if n % t == 0)
     return pl.pallas_call(
         functools.partial(_mega_kernel, sp=sp, tile=tile, max_iter=max_iter,
                           fast=fast),
@@ -699,7 +700,7 @@ def seg_order_stat(vals: jax.Array, seg: jax.Array, valid: jax.Array,
     k2 = jnp.pad(k.astype(jnp.float32), (0, sp - num_segs))[None, :]
     npad = n + n_pad
     if tile is None:
-        tile = next(t for t in (4096, 2048, 1024, 512, 256, 128)
+        tile = next(t for t in (8192, 4096, 2048, 1024, 512, 256, 128)
                     if npad % t == 0)
     out = pl.pallas_call(
         functools.partial(_orderstat_kernel, sp=sp, tile=tile),
@@ -1419,7 +1420,14 @@ def level_megakernel(pts: jax.Array, tables: jax.Array, num_segs: int,
     n = pts.shape[1]
     sp = sp_width(num_segs)
     if tile is None:
-        tile = next(t for t in (4096, 2048, 1024, 512, 256, 128) if n % t == 0)
+        # Prefer the largest divisible tile: per-tile fixed overhead (loop
+        # bookkeeping, cache reads, scalar staleness tests) dominates below
+        # 8192 (measured v5e: a full sweep at tile=8192 costs ~0.5 ms/batch
+        # vs 1.2 at 4096), and the MXU streaming cost is tile-invariant.
+        # Dirty-tile granularity coarsens, but the convergence tail stays
+        # cheaper in aggregate (t8192 i100: 7.6 ms vs 9.3 same-run).
+        tile = next(t for t in (8192, 4096, 2048, 1024, 512, 256, 128)
+                    if n % t == 0)
     ntiles = n // tile
     nrows_a = 16 if fast else 8
     nrows_m = 8   # m2 caches only used in exact mode (kept 8-aligned)

@@ -544,6 +544,10 @@ def filter_ground(
     selects the segment-op backend (None = auto per platform).
     """
     impl = impl or cfg.segment_impl or default_impl()
+    # Binning stays on the XLA 'onehot' path for the fused engine: measured
+    # 0.4 ms/batch at KITTI scale vs 2.0 ms for the pallas seg-sum (its
+    # 2048-point grid steps pay ~64 launch-step overheads for a 2-channel
+    # reduction; XLA fuses the one-hot into a single wide reduction here).
     pa = assign_patches(xyz, valid, cfg,
                         impl="onehot" if impl == "fused" else impl)
     # Non-finite coords are outside every patch (pa.finite), but their raw

@@ -24,7 +24,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", type=int, default=100000)
     ap.add_argument("--impls", nargs="+",
-                    default=["scatter", "onehot", "pallas"])
+                    default=["scatter", "onehot", "pallas", "fused"])
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
@@ -89,9 +89,24 @@ def main():
     ok = True
     for a in impls[1:]:
         mm = int((masks[impls[0]] != masks[a]).sum())
-        ok &= mm == 0
-        print(f"  mask parity {impls[0]} vs {a}: {mm} mismatches "
-              f"({'PASS' if mm == 0 else 'FAIL'})")
+        # Contract (PARITY.md "Floating-point boundaries"): scatter/onehot/
+        # fused are bitwise-identical; the standalone pallas seg-ops impl is
+        # IoU-level on large random scenes (per-tile f32 summation order
+        # flips borderline points — observed ~1e-4 rate, production paths
+        # unaffected).
+        if a == "pallas":
+            inter = int((masks[impls[0]] & masks[a]).sum())
+            union = int((masks[impls[0]] | masks[a]).sum())
+            iou = inter / max(union, 1)
+            good = iou >= 0.999
+            ok &= good
+            print(f"  mask parity {impls[0]} vs {a}: {mm} mismatches, "
+                  f"IoU {iou:.6f} ({'PASS' if good else 'FAIL'} at "
+                  f"IoU-level contract)")
+        else:
+            ok &= mm == 0
+            print(f"  mask parity {impls[0]} vs {a}: {mm} mismatches "
+                  f"({'PASS' if mm == 0 else 'FAIL'})")
     print("ALL PARITY PASS" if ok else "PARITY FAILURES", flush=True)
     return 0 if ok else 1
 

@@ -35,6 +35,12 @@ def main():
                     choices=["velodyne", "demo"])
     ap.add_argument("--kernel-sweep", action="store_true",
                     help="sweep level-0 kernel tile sizes x max_iter")
+    ap.add_argument("--tiles", type=int, nargs="+",
+                    default=[1024, 2048, 4096],
+                    help="tile sizes for --kernel-sweep")
+    ap.add_argument("--iters", type=int, nargs="+",
+                    default=[1, 2, 4, 8, 16, 32, 64, 100],
+                    help="max_iter values for --kernel-sweep")
     args = ap.parse_args()
 
     import jax
@@ -199,8 +205,8 @@ def main():
 
     # ---- kernel sweep: per-iteration cost + tile-size sensitivity ----
     if args.kernel_sweep:
-        for tile in (1024, 2048, 4096):
-            for mi in (1, 2, 4, 8, 16, 32, 64, 100):
+        for tile in args.tiles:
+            for mi in args.iters:
                 for name, cfg in (("fast", cfg_fast), ("exact", cfg_exact)):
                     lvl0 = jax.jit(jax.vmap(functools.partial(
                         lvl0_one_t, cfg=cfg, max_iter=mi, tile=tile)))
