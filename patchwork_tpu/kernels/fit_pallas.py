@@ -758,11 +758,16 @@ def seg_order_stat(vals: jax.Array, seg: jax.Array, valid: jax.Array,
 #          inherit their parent's, cpp:286-287) for feeding the next level.
 
 
+_BAND_W = 32   # banded one-hot width: 31 real slots + 1 trash/out-of-band
+_TILE_OVERRIDE = None   # tests: force a level_megakernel tile size
+
+
 def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
-                  mcache_ref, pres_ref, words_ref, live_ref, *, sp, tile,
-                  max_iter, is_level0, min_seed, flat_area, flat_dz,
-                  flat_minpts, fast, adaptive, seed_percentile, th_seeds,
-                  remap, trash):
+                  mcache_ref, pres_ref, words_ref, live_ref, ohtc_ref,
+                  ohc_ref, band_ref, *, sp, tile, max_iter, is_level0,
+                  min_seed, flat_area, flat_dz, flat_minpts, fast, adaptive,
+                  seed_percentile, th_seeds, remap, trash, cache_oht,
+                  banded):
     n = p_ref.shape[1]
     ntiles = n // tile
     n_words = (ntiles + 31) // 32
@@ -779,6 +784,70 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
     def oht_sl(sl):
         """(Sp, T) one-hot of the LIVE seg (post-remap, state row 3)."""
         return ids == state_ref[3:4, sl]
+
+    def oht_b(sl):
+        """(Sp, T) bf16 one-hot of the live seg, VMEM-cached per level.
+
+        The seg row is STATIC for the whole level (set in phase 0, next
+        mutated only by the NEXT level's remap prologue), so the bf16
+        one-hot every sweep feeds to the MXU can be materialized once and
+        re-read: the per-tile broadcast compare + 2 MB store drop out of
+        every stale-tile visit of every sweep of every fit iteration.
+        Bitwise-neutral: the cached values are exactly the ones the inline
+        compare produces.
+        """
+        if cache_oht:
+            return ohtc_ref[:, sl]
+        return oht_sl(sl).astype(jnp.bfloat16)
+
+    # ---- banded compact one-hot (level 0 only) ---------------------------
+    # Streaming LiDAR clouds arrive azimuth-ordered, so under the engine's
+    # sector-major level-0 relabeling (segment/engine._fused_levels) the
+    # active ids of one tile span a CONTIGUOUS band of <= 2 sectors x R
+    # rings << Sp.  Per tile the census (fill loop) records the band start
+    # b_t (or -1 when the span exceeds _BAND_W-1: that tile keeps the dense
+    # path).  A banded tile contracts against a (_BAND_W, T) compact
+    # one-hot instead of the (Sp, T) dense one — 4x fewer MXU flops and 4x
+    # less VMEM operand traffic per sweep — and maps band slots to global
+    # columns with the exact one-hot placement matmul E_t.  Every banded
+    # value is bitwise the dense value: tab gathers select single columns
+    # exactly, the tile contraction over T is the identical sum, and the
+    # expansion places single products exactly (trash/out-of-band points
+    # land in slot _BAND_W-1 whose E row is zero, and every accumulated row
+    # is activity-masked, so their contribution is exactly the dense
+    # path's zero).
+    def band_E(b):
+        """(W, Sp) bf16 placement: slot w -> column b + w (last slot void)."""
+        rw = jax.lax.broadcasted_iota(jnp.int32, (_BAND_W, sp), 0)
+        cs = jax.lax.broadcasted_iota(jnp.int32, (_BAND_W, sp), 1)
+        return ((rw + b == cs) & (rw < _BAND_W - 1)).astype(jnp.bfloat16)
+
+    def gat_via(tparts, t, sl):
+        """Gather node rows to points: banded when tile t has a band."""
+        if not banded:
+            return _dot3(tparts, oht_b(sl), ((1,), (0,)))
+        b = band_ref[t]
+
+        def _band():
+            tab_cw = _dot3(tparts, band_E(b), ((1,), (1,)))
+            return _dot3(_split3(tab_cw), ohc_ref[:, sl], ((1,), (0,)))
+
+        return jax.lax.cond(b >= 0, _band,
+                            lambda: _dot3(tparts, oht_b(sl), ((1,), (0,))))
+
+    def acc_via(prod, t, sl):
+        """Accumulate point rows into node columns: banded when possible."""
+        parts = _split3(prod)
+        if not banded:
+            return _dot3(parts, oht_b(sl), ((1,), (1,)))
+        b = band_ref[t]
+
+        def _band():
+            partial = _dot3(parts, ohc_ref[:, sl], ((1,), (1,)))
+            return _dot3(_split3(partial), band_E(b), ((1,), (0,)))
+
+        return jax.lax.cond(b >= 0, _band,
+                            lambda: _dot3(parts, oht_b(sl), ((1,), (1,))))
 
     def act_sl(sl):
         """(1, T) 0/1 activity from the live seg (trash = inactive)."""
@@ -805,6 +874,26 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
     # ---- phase 0: split execution / remap prologue (cpp:237-304) --------
     if not remap:
         state_ref[3:4, :] = p_ref[3:4, :]
+        if cache_oht:
+            idw = jax.lax.broadcasted_iota(
+                jnp.int32, (_BAND_W, 1), 0).astype(jnp.float32)
+
+            def fill_body(t, _):
+                sl = pl.ds(t * tile, tile)
+                seg = state_ref[3:4, sl]
+                ohtc_ref[:, sl] = (ids == seg).astype(jnp.bfloat16)
+                if banded:
+                    a = seg < trash_f
+                    lo = jnp.min(jnp.where(a, seg, jnp.float32(sp)))
+                    hi = jnp.max(jnp.where(a, seg, -1.0))
+                    ok = (hi - lo) <= jnp.float32(_BAND_W - 2)
+                    b = jnp.maximum(jnp.where(hi < 0.0, 0.0, lo), 0.0)
+                    band_ref[t] = jnp.where(ok, b, -1.0).astype(jnp.int32)
+                    cid = jnp.where(a, seg - b, jnp.float32(_BAND_W - 1))
+                    ohc_ref[:, sl] = (idw == cid).astype(jnp.bfloat16)
+                return 0
+
+            jax.lax.fori_loop(0, ntiles, fill_body, 0)
         tau_row = tab_ref[0:1, :]
         zth_row = tab_ref[1:2, :]
     else:
@@ -942,6 +1031,10 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
                 state_ref[3:4, sl] = a * newseg + (1.0 - a) * trash_f
                 state_ref[1:2, sl] = jnp.maximum(
                     state_ref[1:2, sl], a * (1.0 - okg))
+                if cache_oht:
+                    # dead tiles keep a stale cache block: every reader of
+                    # oht_b is live-gated (_maybe), so it is never seen
+                    ohtc_ref[:, sl] = oht_sl(sl).astype(jnp.bfloat16)
             return 0
 
         jax.lax.fori_loop(0, ntiles, r5_body, 0)
@@ -1006,7 +1099,7 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
                 def go():
                     sl = pl.ds(t * tile, tile)
                     p = p_ref[:, sl]
-                    oht = oht_sl(sl).astype(jnp.bfloat16)
+                    oht = oht_b(sl)
                     key = _f32_key(p[2:3])
                     a = state_ref[3:4, sl] < trash_f
                     lo_pt = (jnp.zeros_like(key) if first
@@ -1028,7 +1121,7 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
             def go():
                 sl = pl.ds(t * tile, tile)
                 p = p_ref[:, sl]
-                oht = oht_sl(sl).astype(jnp.bfloat16)
+                oht = oht_b(sl)
                 act = act_sl(sl)
                 zth_pt = _dot3(zparts, oht, ((1,), (0,)))
                 seed = act * (p[2:3] < zth_pt[0:1]).astype(jnp.float32)
@@ -1246,9 +1339,8 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
             sl = pl.ds(t * tile, tile)
             p = p_ref[:, sl]
             g = state_ref[0:1, sl]
-            oht = oht_sl(sl).astype(jnp.bfloat16)
             act = act_sl(sl)
-            gat = _dot3(tparts, oht, ((1,), (0,)))
+            gat = gat_via(tparts, t, sl)
             dx, dy, dz = p[0:1] - gat[0:1], p[1:2] - gat[1:2], p[2:3] - gat[2:3]
             dist = jnp.abs(dx * gat[3:4] + dy * gat[4:5] + dz * gat[5:6])
             apply_m = act * gat[6:7]
@@ -1268,7 +1360,7 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
             else:
                 rows += [jnp.zeros_like(g2), act]   # presence at row 7
             prod = jnp.concatenate(rows, axis=0)
-            return _dot3(_split3(prod), oht, ((1,), (1,)))
+            return acc_via(prod, t, sl)
 
         return cached_sweep(False, acache_ref, nrows_a, pres_a,
                             compute_tile, changed_row=_CH)
@@ -1281,15 +1373,14 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
             p = p_ref[:, sl]
             act = act_sl(sl)
             g = state_ref[0:1, sl] * act
-            oht = oht_sl(sl).astype(jnp.bfloat16)
-            cg = _dot3(cparts, oht, ((1,), (0,)))
+            cg = gat_via(cparts, t, sl)
             dx = (p[0:1] - cg[0:1]) * g
             dy = (p[1:2] - cg[1:2]) * g
             dz = (p[2:3] - cg[2:3]) * g
             prod = jnp.concatenate(
                 [dx * dx, dx * dy, dx * dz, dy * dy, dy * dz, dz * dz,
                  jnp.zeros_like(dx), act], axis=0)
-            return _dot3(_split3(prod), oht, ((1,), (1,)))
+            return acc_via(prod, t, sl)
 
         return cached_sweep(False, mcache_ref, 8, 7, compute_tile)
 
@@ -1317,7 +1408,7 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
         # the rows built here are bitwise that sweep's.
         sl = pl.ds(t * tile, tile)
         p = p_ref[:, sl]
-        oht = oht_sl(sl).astype(jnp.bfloat16)
+        oht = oht_b(sl)
         g4 = _dot3(t4, oht, ((1,), (0,)))
         fin_pt, lab_pt, fit_pt, def_pt = g4[0:1], g4[1:2], g4[2:3], g4[3:4]
         act = act_sl(sl)
@@ -1380,7 +1471,7 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
     def s7_body(t, _):
         def go():
             sl = pl.ds(t * tile, tile)
-            oht = oht_sl(sl).astype(jnp.bfloat16)
+            oht = oht_b(sl)
             g7 = jax.lax.dot_general(t7, oht, (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
             fin2 = (act_sl(sl) > 0.5) & (g7[0:1] > 0.5) & (g7[1:2] < 0.5)
@@ -1396,16 +1487,43 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
          tau_row, zth_row, jnp.zeros((1, sp), jnp.float32)], axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "num_segs", "max_iter", "is_level0", "min_seed", "flat_area", "flat_dz",
-    "flat_minpts", "tile", "fast", "adaptive", "seed_percentile", "th_seeds",
-    "remap"))
 def level_megakernel(pts: jax.Array, tables: jax.Array, num_segs: int,
                      max_iter: int, is_level0: bool, min_seed: int,
                      flat_area: float, flat_dz: float, flat_minpts: int,
                      tile: int | None = None, fast: bool = False,
                      adaptive: bool = True, seed_percentile: float = 0.1,
                      th_seeds: float = 0.15, remap: bool = False):
+    """Resolve the tile size (override/auto) OUTSIDE the jit cache, then
+    dispatch to the compiled kernel — a test's _TILE_OVERRIDE can never
+    collide with a previously cached tile=None trace."""
+    n = pts.shape[1]
+    if tile is None:
+        # Prefer the largest divisible tile: per-tile fixed overhead (loop
+        # bookkeeping, cache reads, scalar staleness tests) dominates below
+        # 8192 (measured v5e: a full sweep at tile=8192 costs ~0.5 ms/batch
+        # vs 1.2 at 4096), and the MXU streaming cost is tile-invariant.
+        # Dirty-tile granularity coarsens, but the convergence tail stays
+        # cheaper in aggregate (t8192 i100: 7.6 ms vs 9.3 same-run; 16384
+        # and 32768 regress it: 9.0 / 10.2).
+        tile = _TILE_OVERRIDE or next(
+            t for t in (8192, 4096, 2048, 1024, 512, 256, 128)
+            if n % t == 0)
+    return _level_megakernel_jit(
+        pts, tables, num_segs, max_iter, is_level0, min_seed, flat_area,
+        flat_dz, flat_minpts, tile, fast, adaptive, seed_percentile,
+        th_seeds, remap)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_segs", "max_iter", "is_level0", "min_seed", "flat_area", "flat_dz",
+    "flat_minpts", "tile", "fast", "adaptive", "seed_percentile", "th_seeds",
+    "remap"))
+def _level_megakernel_jit(pts: jax.Array, tables: jax.Array, num_segs: int,
+                          max_iter: int, is_level0: bool, min_seed: int,
+                          flat_area: float, flat_dz: float, flat_minpts: int,
+                          tile: int, fast: bool = False,
+                          adaptive: bool = True, seed_percentile: float = 0.1,
+                          th_seeds: float = 0.15, remap: bool = False):
     """Run one complete level of the engine in a single kernel launch.
 
     See the module-level comment above :func:`_level_kernel` for the row
@@ -1419,18 +1537,16 @@ def level_megakernel(pts: jax.Array, tables: jax.Array, num_segs: int,
     """
     n = pts.shape[1]
     sp = sp_width(num_segs)
-    if tile is None:
-        # Prefer the largest divisible tile: per-tile fixed overhead (loop
-        # bookkeeping, cache reads, scalar staleness tests) dominates below
-        # 8192 (measured v5e: a full sweep at tile=8192 costs ~0.5 ms/batch
-        # vs 1.2 at 4096), and the MXU streaming cost is tile-invariant.
-        # Dirty-tile granularity coarsens, but the convergence tail stays
-        # cheaper in aggregate (t8192 i100: 7.6 ms vs 9.3 same-run).
-        tile = next(t for t in (8192, 4096, 2048, 1024, 512, 256, 128)
-                    if n % t == 0)
     ntiles = n // tile
     nrows_a = 16 if fast else 8
     nrows_m = 8   # m2 caches only used in exact mode (kept 8-aligned)
+    # Per-level (Sp, N) bf16 one-hot cache: pays for itself whenever the
+    # fit loop runs more than a couple of sweeps (always, in practice) and
+    # fits comfortably at level-0 widths; skipped when it would crowd VMEM.
+    cache_oht = sp * n * 2 <= 48 * 1024 * 1024
+    # Banded fit-loop sweeps: level 0 only (child-slot ids at remap levels
+    # are rank-compacted, not spatially contiguous).
+    banded = cache_oht and not remap
     return pl.pallas_call(
         functools.partial(
             _level_kernel, sp=sp, tile=tile, max_iter=max_iter,
@@ -1438,7 +1554,8 @@ def level_megakernel(pts: jax.Array, tables: jax.Array, num_segs: int,
             flat_area=float(flat_area), flat_dz=float(flat_dz),
             flat_minpts=flat_minpts, fast=fast, adaptive=adaptive,
             seed_percentile=float(seed_percentile),
-            th_seeds=float(th_seeds), remap=remap, trash=num_segs - 1),
+            th_seeds=float(th_seeds), remap=remap, trash=num_segs - 1,
+            cache_oht=cache_oht, banded=banded),
         grid=(1,),
         in_specs=[
             pl.BlockSpec((8, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -1458,6 +1575,11 @@ def level_megakernel(pts: jax.Array, tables: jax.Array, num_segs: int,
             pltpu.VMEM((ntiles * 8, sp), jnp.bfloat16),       # node presence
             pltpu.SMEM(((ntiles + 31) // 32,), jnp.int32),    # stale words
             pltpu.SMEM(((ntiles + 31) // 32,), jnp.int32),    # live words
+            pltpu.VMEM((sp, n) if cache_oht else (8, 128),
+                       jnp.bfloat16),                         # one-hot cache
+            pltpu.VMEM((_BAND_W, n) if banded else (8, 128),
+                       jnp.bfloat16),                   # banded one-hot
+            pltpu.SMEM((ntiles,), jnp.int32),           # band starts (-1=dense)
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

@@ -179,6 +179,23 @@ class TestEngineFusedParity:
                             impl="fused").ground
         np.testing.assert_array_equal(np.asarray(g_s), np.asarray(g_f))
 
+    def test_banded_sweeps_bitwise(self, monkeypatch):
+        # Small tiles on an azimuth-ordered scan activate the banded
+        # compact one-hot path (kernels/fit_pallas.py band_E: most tiles
+        # span <= 2 sectors of sector-major ids); masks must stay bitwise
+        # equal to the scatter golden path in both covariance modes.
+        from patchwork_tpu.kernels import fit_pallas
+
+        monkeypatch.setattr(fit_pallas, "_TILE_OVERRIDE", 1024)
+        n = 16384
+        pts = velodyne_like_cloud(n, seed=3)
+        xyz, valid = jnp.asarray(pts), jnp.ones(n, bool)
+        for fast in (False, True):
+            cfg = PatchworkConfig(fast_covariance=fast)
+            g_s = filter_ground(xyz, valid, cfg, impl="scatter").ground
+            g_f = filter_ground(xyz, valid, cfg, impl="fused").ground
+            np.testing.assert_array_equal(np.asarray(g_s), np.asarray(g_f))
+
 
 class TestOrderStatKernel:
     """In-kernel exact order statistic (histogram refinement, no sort) vs

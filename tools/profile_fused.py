@@ -35,6 +35,9 @@ def main():
                     choices=["velodyne", "demo"])
     ap.add_argument("--kernel-sweep", action="store_true",
                     help="sweep level-0 kernel tile sizes x max_iter")
+    ap.add_argument("--sweep-only", action="store_true",
+                    help="skip the per-stage base profile (implies "
+                         "--kernel-sweep)")
     ap.add_argument("--tiles", type=int, nargs="+",
                     default=[1024, 2048, 4096],
                     help="tile sizes for --kernel-sweep")
@@ -74,14 +77,17 @@ def main():
         return (t_at[2 * reps] - t_at[reps]) / reps * 1e3
 
     out = {}
+    if args.sweep_only:
+        args.kernel_sweep = True
 
     # ---- full engine ----
-    fn_fast = make_filter_ground_batched(cfg_fast)
-    fn_exact = make_filter_ground_batched(cfg_exact)
-    out["full_fast_ms"] = slope_ms(
-        lambda: fn_fast(xyz, valid), lambda r: r.ground.sum(), args.reps)
-    out["full_exact_ms"] = slope_ms(
-        lambda: fn_exact(xyz, valid), lambda r: r.ground.sum(), args.reps)
+    if not args.sweep_only:
+        fn_fast = make_filter_ground_batched(cfg_fast)
+        fn_exact = make_filter_ground_batched(cfg_exact)
+        out["full_fast_ms"] = slope_ms(
+            lambda: fn_fast(xyz, valid), lambda r: r.ground.sum(), args.reps)
+        out["full_exact_ms"] = slope_ms(
+            lambda: fn_exact(xyz, valid), lambda r: r.ground.sum(), args.reps)
 
     # ---- binning ----
     @jax.jit
@@ -89,8 +95,10 @@ def main():
     def bin_full(x, v):
         return assign_patches(x, v, cfg_fast, impl="onehot")
 
-    out["binning_ms"] = slope_ms(
-        lambda: bin_full(xyz, valid), lambda r: r.rel_dist.sum(), args.reps)
+    if not args.sweep_only:
+        out["binning_ms"] = slope_ms(
+            lambda: bin_full(xyz, valid), lambda r: r.rel_dist.sum(),
+            args.reps)
 
     from patchwork_tpu.ops.pointcloud import (distance_2d, finite_mask,
                                               polar_angle)
@@ -116,8 +124,9 @@ def main():
                           cfg_fast.num_patches)
         return patch, in_patch, d
 
-    out["binning_elemwise_ms"] = slope_ms(
-        lambda: bin_elem(xyz, valid), lambda r: r[2].sum(), args.reps)
+    if not args.sweep_only:
+        out["binning_elemwise_ms"] = slope_ms(
+            lambda: bin_elem(xyz, valid), lambda r: r[2].sum(), args.reps)
 
     # ---- pre-pack (everything before the first kernel launch) ----
     from patchwork_tpu.kernels.fit_pallas import sp_width
@@ -126,6 +135,8 @@ def main():
     num_p = cfg_fast.num_patches
 
     def prepack_one(x, v, cfg):
+        # mirrors segment/engine._fused_levels incl. the sector-major
+        # level-0 relabeling (banded sweeps need contiguous tile bands)
         pa = assign_patches(x, v, cfg, impl="onehot")
         x = jnp.where(pa.finite[:, None], x, 0.0)
         if cfg.fast_covariance:
@@ -146,7 +157,10 @@ def main():
         npad = (-n) % 128
         idx_row = jnp.arange(n + npad, dtype=_F32)[None, :]
         xyz_t = jnp.pad(x.T, ((0, 0), (0, npad)))
-        seg0 = jnp.where(pa.in_patch, pa.patch, num_p).astype(_F32)
+        S, R = cfg.num_sectors, cfg.num_rings
+        pi = pa.patch.astype(jnp.int32)
+        seg0 = jnp.where(pa.in_patch,
+                         ((pi % S) * R + pi // S).astype(_F32), _F32(num_p))
         rows = jnp.stack([
             jnp.pad(seg0, (0, npad), constant_values=float(num_p)),
             jnp.pad(jnp.zeros((n,), _F32), (0, npad)),
@@ -159,8 +173,9 @@ def main():
         return pts, tau_patch, zth_patch
 
     prepack = jax.jit(jax.vmap(lambda x, v: prepack_one(x, v, cfg_fast)))
-    out["prepack_ms"] = slope_ms(
-        lambda: prepack(xyz, valid), lambda r: r[0].sum(), args.reps)
+    if not args.sweep_only:
+        out["prepack_ms"] = slope_ms(
+            lambda: prepack(xyz, valid), lambda r: r[0].sum(), args.reps)
 
     # ---- level-0 kernel alone on pre-packed input ----
     from patchwork_tpu.kernels.fit_pallas import level_megakernel
@@ -169,8 +184,15 @@ def main():
     sp0 = sp_width(num_p + 1)
 
     def tables_one(tau_patch, zth_patch, cfg):
+        S, R = cfg.num_sectors, cfg.num_rings
+        pid = np.arange(num_p)
+        sig = np.concatenate([(pid % S) * R + pid // S, [num_p]])
+        inv = np.empty_like(sig)
+        inv[sig] = np.arange(num_p + 1)
+
         def _row0(vv):
-            return jnp.pad(vv, (0, sp0 - (num_p + 1)))[None, :]
+            return jnp.pad(vv[jnp.asarray(inv)],
+                           (0, sp0 - (num_p + 1)))[None, :]
         real = jnp.pad((jnp.arange(num_p + 1) < num_p).astype(_F32),
                        (0, sp0 - (num_p + 1)))[None, :]
         thresh = _F32(cfg.th_dist)
@@ -196,12 +218,13 @@ def main():
     def lvl0_one(pts, tau_patch, zth_patch, cfg):
         return lvl0_one_t(pts, tau_patch, zth_patch, cfg, cfg.max_iter)
 
-    for name, cfg in (("fast", cfg_fast), ("exact", cfg_exact)):
-        lvl0 = jax.jit(jax.vmap(
-            lambda p, t, z: lvl0_one(p, t, z, cfg)))
-        out[f"level0_kernel_{name}_ms"] = slope_ms(
-            lambda: lvl0(pts_b, tau_b, zth_b), lambda r: r[1].sum(),
-            args.reps)
+    if not args.sweep_only:
+        for name, cfg in (("fast", cfg_fast), ("exact", cfg_exact)):
+            lvl0 = jax.jit(jax.vmap(
+                lambda p, t, z: lvl0_one(p, t, z, cfg)))
+            out[f"level0_kernel_{name}_ms"] = slope_ms(
+                lambda: lvl0(pts_b, tau_b, zth_b), lambda r: r[1].sum(),
+                args.reps)
 
     # ---- kernel sweep: per-iteration cost + tile-size sensitivity ----
     if args.kernel_sweep:
