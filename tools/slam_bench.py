@@ -26,15 +26,22 @@ import numpy as np
 
 
 def simulate_loop_drive(num_frames: int, seed: int = 0,
-                        num_pillars: int = 70, noise: float = 0.01):
-    """Closed circular drive through a pillar world; returns (scans, gt)."""
+                        num_pillars: int = 70, noise: float = 0.01,
+                        laps: int = 1):
+    """Closed circular drive through a pillar world; returns (scans, gt).
+
+    ``laps`` > 1 keeps the per-frame motion (and therefore the ICP
+    difficulty) constant as ``num_frames`` grows: the vehicle circles the
+    same loop repeatedly, so long runs exercise SOLVER scale (many
+    keyframes, many loop closures) rather than an ever-larger world.
+    """
     from patchwork_tpu.io.synthetic import simulate_world
 
     world = simulate_world(seed=seed, num_pillars=num_pillars)
     rng = np.random.default_rng(seed)
     scans, gt = [], []
     pose = np.eye(4, dtype=np.float32)
-    yaw_step = 2 * np.pi / num_frames
+    yaw_step = 2 * np.pi * laps / num_frames
     for _ in range(num_frames):
         inv = np.linalg.inv(pose).astype(np.float32)
         local = world @ inv[:3, :3].T + inv[:3, 3]
@@ -50,13 +57,15 @@ def simulate_loop_drive(num_frames: int, seed: int = 0,
 
 
 def run(num_keyframes: int = 100, seed: int = 3, ba_iters: int = 4,
-        log=print):
+        laps: int | None = None, log=print):
     from patchwork_tpu import PatchworkConfig
     from patchwork_tpu.slam import LidarOdometry
     from patchwork_tpu.slam.landmarks import refine_with_ba
     from patchwork_tpu.slam.odometry import OdometryConfig
 
-    scans, gt = simulate_loop_drive(num_keyframes, seed=seed)
+    if laps is None:
+        laps = max(1, num_keyframes // 100)   # constant per-frame motion
+    scans, gt = simulate_loop_drive(num_keyframes, seed=seed, laps=laps)
 
     t0 = time.perf_counter()
     odo = LidarOdometry(
@@ -71,15 +80,20 @@ def run(num_keyframes: int = 100, seed: int = 3, ba_iters: int = 4,
     ate_odo = float(odo.trajectory_error(gt))
 
     t0 = time.perf_counter()
+    # separation gate: half a lap, so lap-over-lap revisits qualify while
+    # trajectory-adjacent frames never do; candidate radius widens with
+    # lap count (odometric drift accumulates ~1 m/lap before correction)
     accepted = odo.detect_loop_closures(
-        radius=3.0, min_separation=max(10, num_keyframes // 4),
+        radius=3.0 + 0.5 * (laps - 1),
+        min_separation=max(10, num_keyframes // laps // 2),
         min_inliers=100)
     t_loops = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     # degree-capped sparsification + solver auto-select (matrix-free PCG
-    # at large K)
-    odo.optimize(iters=8, max_degree=6)
+    # at large K); relinearization count grows with loop count so multi-lap
+    # graphs converge
+    odo.optimize(iters=max(8, 2 * laps), max_degree=6)
     t_graph = time.perf_counter() - t0
     ate_graph = float(odo.trajectory_error(gt))
 
@@ -110,9 +124,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--keyframes", type=int, default=100)
     ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--laps", type=int, default=None,
+                    help="loop laps (default keyframes//100: constant "
+                         "per-frame motion at any scale)")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
-    out = run(args.keyframes, args.seed)
+    out = run(args.keyframes, args.seed, laps=args.laps)
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(out, f)
