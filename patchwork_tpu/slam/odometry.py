@@ -85,6 +85,7 @@ class LidarOdometry:
             )
 
         self._extract = extract
+        self._extract_batched = jax.jit(jax.vmap(extract))
         self._match = match
 
     def _pad(self, pts: np.ndarray):
@@ -107,7 +108,35 @@ class LidarOdometry:
         xyz, valid = self._pad(pts)
         o, ov, g, gv = self._extract(xyz, valid, jax.random.key(seed))
         frame = {"obst": o, "obst_valid": ov, "ground": g, "ground_valid": gv}
+        return self._ingest(frame)
 
+    def add_scans(self, scans, seeds=None, batch: int = 8) -> np.ndarray:
+        """Batched ingest of a scan sequence; returns the (K, 4, 4) poses.
+
+        The expensive per-scan stage — segmentation + class-wise
+        downsample — has NO sequential dependency, so it runs vmapped in
+        chunks of ``batch`` (on TPU each chunk is one fused-engine grid
+        launch).  The ICP chain then consumes the precomputed features in
+        order, preserving the exact constant-velocity warm-start semantics
+        of calling :meth:`add_scan` scan by scan.
+        """
+        if seeds is None:
+            seeds = range(len(scans))
+        seeds = list(seeds)
+        for s0 in range(0, len(scans), batch):
+            chunk = scans[s0 : s0 + batch]
+            padded = [self._pad(p) for p in chunk]
+            xyz_b = jnp.stack([x for x, _ in padded])
+            val_b = jnp.stack([v for _, v in padded])
+            keys = jax.vmap(jax.random.key)(
+                jnp.asarray(seeds[s0 : s0 + len(chunk)], jnp.uint32))
+            o, ov, g, gv = self._extract_batched(xyz_b, val_b, keys)
+            for i in range(len(chunk)):
+                self._ingest({"obst": o[i], "obst_valid": ov[i],
+                              "ground": g[i], "ground_valid": gv[i]})
+        return np.stack(self.poses)
+
+    def _ingest(self, frame: dict) -> np.ndarray:
         if not self._frames:
             self._frames.append(frame)
             self.poses.append(np.eye(4, dtype=np.float32))

@@ -73,8 +73,9 @@ def run(num_keyframes: int = 100, seed: int = 3, ba_iters: int = 4,
         cfg=OdometryConfig(capacity=32768, obstacle_samples=1024,
                            ground_samples=512, icp_iters=12),
     )
-    for i, s in enumerate(scans):
-        odo.add_scan(s, seed=i)
+    # batched front end: vmapped segmentation+downsample in chunks; the
+    # ICP chain itself is sequential (warm-start semantics preserved)
+    odo.add_scans(scans)
     t_odo = time.perf_counter() - t0
 
     ate_odo = float(odo.trajectory_error(gt))
