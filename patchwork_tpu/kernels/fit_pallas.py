@@ -36,6 +36,7 @@ Differentially tested against SegOps('scatter') composition
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -759,6 +760,10 @@ def seg_order_stat(vals: jax.Array, seg: jax.Array, valid: jax.Array,
 
 
 _BAND_W = 32   # banded one-hot width: 31 real slots + 1 trash/out-of-band
+# perf bisection knobs (bitwise-neutral): force either fit-loop
+# optimization off for A/B timing on real hardware
+_ENABLE_OHT_CACHE = os.environ.get("PATCHWORK_TPU_OHT_CACHE") != "0"
+_ENABLE_BANDED = os.environ.get("PATCHWORK_TPU_BANDED") != "0"
 _TILE_OVERRIDE = None   # tests: force a level_megakernel tile size
 
 
@@ -1543,10 +1548,13 @@ def _level_megakernel_jit(pts: jax.Array, tables: jax.Array, num_segs: int,
     # Per-level (Sp, N) bf16 one-hot cache: pays for itself whenever the
     # fit loop runs more than a couple of sweeps (always, in practice) and
     # fits comfortably at level-0 widths; skipped when it would crowd VMEM.
-    cache_oht = sp * n * 2 <= 48 * 1024 * 1024
+    # PATCHWORK_TPU_OHT_CACHE=0 / PATCHWORK_TPU_BANDED=0 force either
+    # optimization off (per-process perf bisection knobs, read at import;
+    # results are bitwise-neutral either way).
+    cache_oht = sp * n * 2 <= 48 * 1024 * 1024 and _ENABLE_OHT_CACHE
     # Banded fit-loop sweeps: level 0 only (child-slot ids at remap levels
     # are rank-compacted, not spatially contiguous).
-    banded = cache_oht and not remap
+    banded = cache_oht and not remap and _ENABLE_BANDED
     return pl.pallas_call(
         functools.partial(
             _level_kernel, sp=sp, tile=tile, max_iter=max_iter,

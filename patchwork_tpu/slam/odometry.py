@@ -87,6 +87,7 @@ class LidarOdometry:
         self._extract = extract
         self._extract_batched = jax.jit(jax.vmap(extract))
         self._match = match
+        self._match_pairs = jax.jit(jax.vmap(match))
 
     def _pad(self, pts: np.ndarray):
         cap = self.cfg.capacity
@@ -110,19 +111,37 @@ class LidarOdometry:
         frame = {"obst": o, "obst_valid": ov, "ground": g, "ground_valid": gv}
         return self._ingest(frame)
 
-    def add_scans(self, scans, seeds=None, batch: int = 8) -> np.ndarray:
+    def add_scans(self, scans, seeds=None, batch: int = 8,
+                  parallel_icp: bool = False,
+                  pair_chunk: int = 32) -> np.ndarray:
         """Batched ingest of a scan sequence; returns the (K, 4, 4) poses.
 
         The expensive per-scan stage — segmentation + class-wise
         downsample — has NO sequential dependency, so it runs vmapped in
         chunks of ``batch`` (on TPU each chunk is one fused-engine grid
-        launch).  The ICP chain then consumes the precomputed features in
-        order, preserving the exact constant-velocity warm-start semantics
-        of calling :meth:`add_scan` scan by scan.
+        launch).  By default the ICP chain then consumes the precomputed
+        features in order, preserving the exact constant-velocity
+        warm-start semantics of calling :meth:`add_scan` scan by scan.
+
+        ``parallel_icp=True`` (requires ``keyframe_every == 1``) replaces
+        the sequential chain with a two-pass vmapped solve over ALL
+        consecutive pairs at once — the throughput mode for long mapping
+        sessions where frame latency does not matter:
+
+        * pass 1: every pair matched from the identity init (the annealed
+          coarse gate covers ordinary inter-frame motion);
+        * pass 2 (selective): pairs whose inlier RMSE is an outlier are
+          re-matched warm-started from their *predecessor's* pass-1 delta
+          — the parallel analogue of the constant-velocity prediction —
+          keeping whichever result has the lower inlier RMSE.
+
+        Each pass runs ``pair_chunk`` ICPs per device dispatch; poses are
+        composed on the host afterwards (K tiny 4x4 matmuls).
         """
         if seeds is None:
             seeds = range(len(scans))
         seeds = list(seeds)
+        feats = []   # parallel mode: collect features, defer matching
         for s0 in range(0, len(scans), batch):
             chunk = scans[s0 : s0 + batch]
             padded = [self._pad(p) for p in chunk]
@@ -131,10 +150,95 @@ class LidarOdometry:
             keys = jax.vmap(jax.random.key)(
                 jnp.asarray(seeds[s0 : s0 + len(chunk)], jnp.uint32))
             o, ov, g, gv = self._extract_batched(xyz_b, val_b, keys)
-            for i in range(len(chunk)):
-                self._ingest({"obst": o[i], "obst_valid": ov[i],
-                              "ground": g[i], "ground_valid": gv[i]})
+            if parallel_icp:
+                feats.append((o, ov, g, gv))
+            else:
+                for i in range(len(chunk)):
+                    self._ingest({"obst": o[i], "obst_valid": ov[i],
+                                  "ground": g[i], "ground_valid": gv[i]})
+        if parallel_icp:
+            if self.cfg.keyframe_every != 1:
+                raise ValueError("parallel_icp requires keyframe_every == 1")
+            if self._frames:
+                raise ValueError(
+                    "parallel_icp rebuilds the whole trajectory; call it on "
+                    "a fresh LidarOdometry (no scans ingested yet)")
+            stacked = {
+                "obst": jnp.concatenate([f[0] for f in feats]),
+                "obst_valid": jnp.concatenate([f[1] for f in feats]),
+                "ground": jnp.concatenate([f[2] for f in feats]),
+                "ground_valid": jnp.concatenate([f[3] for f in feats]),
+            }
+            self._ingest_parallel(stacked, pair_chunk)
         return np.stack(self.poses)
+
+    def _solve_pairs(self, stacked: dict, pair_idx: np.ndarray,
+                     inits: np.ndarray, pair_chunk: int):
+        """Vmapped ICP of pairs (i -> i+1), ``pair_chunk`` per dispatch."""
+        m = len(pair_idx)
+        pair_chunk = min(pair_chunk, max(m, 1))
+        Ts, rmses = [], []
+        inits = jnp.asarray(inits)
+        for s0 in range(0, m, pair_chunk):
+            # ragged tail is padded by REPEATING the last pair so every
+            # dispatch reuses the one compiled (pair_chunk, ...) trace
+            at = np.minimum(np.arange(s0, s0 + pair_chunk), m - 1)
+            idx = pair_idx[at]
+            res = self._match_pairs(
+                jax.tree_util.tree_map(lambda a: a[idx + 1], stacked),
+                jax.tree_util.tree_map(lambda a: a[idx], stacked),
+                inits[at],
+            )
+            keep = min(pair_chunk, m - s0)
+            Ts.append(np.asarray(res.transform)[:keep])
+            rmses.append(np.asarray(res.rmse)[:keep])
+        return np.concatenate(Ts), np.concatenate(rmses)
+
+    def _ingest_parallel(self, stacked: dict, pair_chunk: int) -> None:
+        """Parallel ICP chain: full pass from identity, selective retry."""
+        k = int(stacked["obst"].shape[0])
+        eye = np.eye(4, dtype=np.float32)
+        if k == 0:
+            return
+        if k > 1:
+            all_pairs = np.arange(k - 1)
+            inits1 = np.broadcast_to(eye, (k - 1, 4, 4))
+            T1, r1 = self._solve_pairs(stacked, all_pairs, inits1, pair_chunk)
+            # selective pass 2: identity inits converge except on sharp
+            # motion (a rotation displaces far structure by r*theta), which
+            # shows up as an outlier inlier-RMSE.  Only those pairs are
+            # re-matched, warm-started from their predecessor's pass-1
+            # delta — the parallel analogue of the constant-velocity
+            # prediction — keeping whichever result scores lower.
+            med = float(np.median(r1))
+            bad = np.where(r1 > max(2.0 * med, 0.05))[0]
+            T = T1
+            if len(bad):
+                inits2 = np.where((bad > 0)[:, None, None],
+                                  T1[np.maximum(bad - 1, 0)], eye[None])
+                T2, r2 = self._solve_pairs(stacked, bad,
+                                           inits2.astype(np.float32),
+                                           pair_chunk)
+                win = bad[r2 < r1[bad]]
+                T = T1.copy()
+                T[win] = T2[r2 < r1[bad]]
+            T = T.astype(np.float32)
+        else:
+            T = np.zeros((0, 4, 4), np.float32)
+        # compose + populate exactly what the sequential chain would
+        self._frames = [
+            {key: stacked[key][i] for key in
+             ("obst", "obst_valid", "ground", "ground_valid")}
+            for i in range(k)
+        ]
+        self.poses = [eye.copy()]
+        self.edges = []
+        for i in range(k - 1):
+            self.poses.append((self.poses[-1] @ T[i]).astype(np.float32))
+            self.edges.append((i, i + 1, T[i]))
+        self._frame_counter = k - 1
+        self.current_pose = self.poses[-1]
+        self._last_delta = T[-1] if k > 1 else eye.copy()
 
     def _ingest(self, frame: dict) -> np.ndarray:
         if not self._frames:

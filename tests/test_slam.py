@@ -222,6 +222,39 @@ class TestOdometry:
         ate = odo.trajectory_error(gt)
         assert ate < 0.15, ate
 
+    def test_parallel_icp_matches_sequential(self):
+        """parallel_icp (vmapped pair solves + selective warm-start retry)
+        reproduces the sequential chain's trajectory to mm accuracy."""
+        world = simulate_world(seed=2, num_pillars=50)
+        scans, gt = simulate_sequence(num_frames=6, seed=2, world=world,
+                                      step_xy=0.8, sensor_noise=0.01)
+
+        def mk():
+            return LidarOdometry(
+                patchwork=PatchworkConfig(filtering_radius=80.0,
+                                          max_levels=2),
+                cfg=OdometryConfig(capacity=32768, obstacle_samples=1024,
+                                   ground_samples=512, icp_iters=10),
+            )
+
+        seq = mk()
+        seq.add_scans(scans)
+        par = mk()
+        par.add_scans(scans, parallel_icp=True, pair_chunk=4)
+        assert par.trajectory_error(gt) < 0.15
+        p1, p2 = np.stack(seq.poses), np.stack(par.poses)
+        assert np.abs(p1[:, :3, 3] - p2[:, :3, 3]).max() < 0.02
+        # same graph structure: odometry edges between consecutive frames
+        assert len(par.edges) == len(scans) - 1
+        # frames populated -> loop closures still work on top
+        assert len(par._frames) == len(scans)
+
+    def test_parallel_icp_guards(self):
+        odo = LidarOdometry(
+            cfg=OdometryConfig(capacity=1024, keyframe_every=2))
+        with pytest.raises(ValueError):
+            odo.add_scans([np.zeros((8, 3), np.float32)], parallel_icp=True)
+
     def test_keyframe_cadence(self):
         world = simulate_world(seed=6, num_pillars=50)
         scans, gt = simulate_sequence(num_frames=7, seed=6, world=world,

@@ -57,7 +57,7 @@ def simulate_loop_drive(num_frames: int, seed: int = 0,
 
 
 def run(num_keyframes: int = 100, seed: int = 3, ba_iters: int = 4,
-        laps: int | None = None, log=print):
+        laps: int | None = None, icp: str = "sequential", log=print):
     from patchwork_tpu import PatchworkConfig
     from patchwork_tpu.slam import LidarOdometry
     from patchwork_tpu.slam.landmarks import refine_with_ba
@@ -73,9 +73,11 @@ def run(num_keyframes: int = 100, seed: int = 3, ba_iters: int = 4,
         cfg=OdometryConfig(capacity=32768, obstacle_samples=1024,
                            ground_samples=512, icp_iters=12),
     )
-    # batched front end: vmapped segmentation+downsample in chunks; the
-    # ICP chain itself is sequential (warm-start semantics preserved)
-    odo.add_scans(scans)
+    # batched front end: vmapped segmentation+downsample in chunks.
+    # icp='sequential' keeps the exact constant-velocity chain;
+    # icp='parallel' solves all consecutive pairs vmapped (identity init +
+    # selective warm-start retry) — the throughput mode for long sessions.
+    odo.add_scans(scans, parallel_icp=(icp == "parallel"))
     t_odo = time.perf_counter() - t0
 
     ate_odo = float(odo.trajectory_error(gt))
@@ -109,6 +111,7 @@ def run(num_keyframes: int = 100, seed: int = 3, ba_iters: int = 4,
         "value": round(min(ate_graph, ate_ba), 4),
         "unit": "m",
         "keyframes": num_keyframes,
+        "icp": icp,
         "loop_closures": len(accepted),
         "ate_odometry_m": round(ate_odo, 4),
         "ate_posegraph_m": round(ate_graph, 4),
@@ -128,9 +131,13 @@ def main():
     ap.add_argument("--laps", type=int, default=None,
                     help="loop laps (default keyframes//100: constant "
                          "per-frame motion at any scale)")
+    ap.add_argument("--icp", default="sequential",
+                    choices=["sequential", "parallel"],
+                    help="odometry ICP chain: exact sequential warm-start "
+                         "chain, or vmapped parallel pair solves")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
-    out = run(args.keyframes, args.seed, laps=args.laps)
+    out = run(args.keyframes, args.seed, laps=args.laps, icp=args.icp)
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(out, f)
