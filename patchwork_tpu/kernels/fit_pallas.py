@@ -760,10 +760,17 @@ def seg_order_stat(vals: jax.Array, seg: jax.Array, valid: jax.Array,
 
 
 _BAND_W = 32   # banded one-hot width: 31 real slots + 1 trash/out-of-band
-# perf bisection knobs (bitwise-neutral): force either fit-loop
-# optimization off for A/B timing on real hardware
+# perf knobs (bitwise-neutral either way), read at import:
+# - the one-hot VMEM cache measurably wins on v5e (A/B 2026-08-20:
+#   velodyne 1059 fast / 634 exact with it vs 928/575 before it landed)
+#   and defaults ON (PATCHWORK_TPU_OHT_CACHE=0 disables);
+# - the banded compact sweeps looked good in interpret-mode flop counts
+#   but are ~2x SLOWER on real v5e (529 fast vs 1059 dense same-day A/B:
+#   the per-tile band conds + double placement matmuls beat the saved
+#   operand traffic), so they default OFF (PATCHWORK_TPU_BANDED=1 opts
+#   in; the bitwise parity tests keep covering the path).
 _ENABLE_OHT_CACHE = os.environ.get("PATCHWORK_TPU_OHT_CACHE") != "0"
-_ENABLE_BANDED = os.environ.get("PATCHWORK_TPU_BANDED") != "0"
+_ENABLE_BANDED = os.environ.get("PATCHWORK_TPU_BANDED") == "1"
 _TILE_OVERRIDE = None   # tests: force a level_megakernel tile size
 
 
@@ -1513,22 +1520,31 @@ def level_megakernel(pts: jax.Array, tables: jax.Array, num_segs: int,
         tile = _TILE_OVERRIDE or next(
             t for t in (8192, 4096, 2048, 1024, 512, 256, 128)
             if n % t == 0)
+    sp = sp_width(num_segs)
+    # Per-level (Sp, N) bf16 one-hot cache: pays for itself whenever the
+    # fit loop runs more than a couple of sweeps (always, in practice) and
+    # fits comfortably at level-0 widths; skipped when it would crowd VMEM.
+    cache_oht = sp * n * 2 <= 48 * 1024 * 1024 and _ENABLE_OHT_CACHE
+    # Banded fit-loop sweeps (opt-in, see _ENABLE_BANDED): level 0 only —
+    # child-slot ids at remap levels are rank-compacted, not contiguous.
+    banded = cache_oht and not remap and _ENABLE_BANDED
     return _level_megakernel_jit(
         pts, tables, num_segs, max_iter, is_level0, min_seed, flat_area,
         flat_dz, flat_minpts, tile, fast, adaptive, seed_percentile,
-        th_seeds, remap)
+        th_seeds, remap, cache_oht, banded)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "num_segs", "max_iter", "is_level0", "min_seed", "flat_area", "flat_dz",
     "flat_minpts", "tile", "fast", "adaptive", "seed_percentile", "th_seeds",
-    "remap"))
+    "remap", "cache_oht", "banded"))
 def _level_megakernel_jit(pts: jax.Array, tables: jax.Array, num_segs: int,
                           max_iter: int, is_level0: bool, min_seed: int,
                           flat_area: float, flat_dz: float, flat_minpts: int,
                           tile: int, fast: bool = False,
                           adaptive: bool = True, seed_percentile: float = 0.1,
-                          th_seeds: float = 0.15, remap: bool = False):
+                          th_seeds: float = 0.15, remap: bool = False,
+                          cache_oht: bool = True, banded: bool = False):
     """Run one complete level of the engine in a single kernel launch.
 
     See the module-level comment above :func:`_level_kernel` for the row
@@ -1545,16 +1561,6 @@ def _level_megakernel_jit(pts: jax.Array, tables: jax.Array, num_segs: int,
     ntiles = n // tile
     nrows_a = 16 if fast else 8
     nrows_m = 8   # m2 caches only used in exact mode (kept 8-aligned)
-    # Per-level (Sp, N) bf16 one-hot cache: pays for itself whenever the
-    # fit loop runs more than a couple of sweeps (always, in practice) and
-    # fits comfortably at level-0 widths; skipped when it would crowd VMEM.
-    # PATCHWORK_TPU_OHT_CACHE=0 / PATCHWORK_TPU_BANDED=0 force either
-    # optimization off (per-process perf bisection knobs, read at import;
-    # results are bitwise-neutral either way).
-    cache_oht = sp * n * 2 <= 48 * 1024 * 1024 and _ENABLE_OHT_CACHE
-    # Banded fit-loop sweeps: level 0 only (child-slot ids at remap levels
-    # are rank-compacted, not spatially contiguous).
-    banded = cache_oht and not remap and _ENABLE_BANDED
     return pl.pallas_call(
         functools.partial(
             _level_kernel, sp=sp, tile=tile, max_iter=max_iter,

@@ -187,6 +187,9 @@ class TestEngineFusedParity:
         from patchwork_tpu.kernels import fit_pallas
 
         monkeypatch.setattr(fit_pallas, "_TILE_OVERRIDE", 1024)
+        # banded defaults OFF (2x slower on real v5e) but the path stays
+        # covered: force it on for this bitwise parity check
+        monkeypatch.setattr(fit_pallas, "_ENABLE_BANDED", True)
         n = 16384
         pts = velodyne_like_cloud(n, seed=3)
         xyz, valid = jnp.asarray(pts), jnp.ones(n, bool)
