@@ -494,13 +494,23 @@ def _mega_kernel(p_ref, g_ref, gout_ref, stats_ref, *, sp, tile, max_iter,
         m1_next = sweep(tab)
         return m1_next, jnp.sum(m1_next[5:6]) > 0.0, it + 1
 
-    m1, _, _ = jax.lax.while_loop(cond, body, (m1_0, True, jnp.int32(0)))
+    m1, changed_fin, _ = jax.lax.while_loop(
+        cond, body, (m1_0, True, jnp.int32(0)))
 
-    # final fit of the converged mask: can=0 -> pure distance-sum sweep
-    tab = make_tab(m1, False)
-    m_f = sweep(tab)
-    stats_ref[:] = jnp.concatenate(
-        [m_f[0:6], jnp.zeros((2, sp), jnp.float32)], axis=0)
+    # final fit of the converged mask: can=0 -> pure distance-sum sweep.
+    # On a CONVERGENCE exit the re-fit plane and distance sum are bitwise
+    # the values already in ``m1`` (the mask did not change, so the
+    # re-fit recomputes the same moments); only a max_iter exit needs it.
+    @pl.when(changed_fin)
+    def _():
+        m_f = sweep(make_tab(m1, False))
+        stats_ref[:] = jnp.concatenate(
+            [m_f[0:6], jnp.zeros((2, sp), jnp.float32)], axis=0)
+
+    @pl.when(jnp.logical_not(changed_fin))
+    def _():
+        stats_ref[:] = jnp.concatenate(
+            [m1[0:6], jnp.zeros((2, sp), jnp.float32)], axis=0)
 
 
 def megakernel_fits(n_padded: int, sp: int) -> bool:
@@ -1463,12 +1473,29 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
         delta_n = (m1n[_CH : _CH + 1] > 0.0).astype(jnp.float32)
         return m1n, jnp.sum(m1n[_CH : _CH + 1]) > 0.0, it + 1, delta_n
 
-    m1, _, _, delta = jax.lax.while_loop(
+    m1, changed_fin, _, delta = jax.lax.while_loop(
         fcond, fbody, (m1_0, True, jnp.int32(0), delta0))
 
     # ---- phase 6: final fit, residual, split decision (cpp:219-235) -----
-    pack_stale_words(delta)
-    stats_f = sweep(make_tab(m1, False))
+    # Skipped when the loop exited by CONVERGENCE (changed == 0): the
+    # converged mask equals the previous iteration's, so its moments — and
+    # therefore the re-fit plane and the distance sum the final sweep
+    # would accumulate — are bitwise the values already in ``m1`` (same
+    # per-tile blocks in the same order; the dirty-tile cache invariant
+    # guarantees cached == dense recompute).  Only a max_iter exit (mask
+    # still changing) needs the extra re-fit sweep(s).  Saves one full
+    # iteration cost per level — two sweeps in exact mode, one in fast.
+    @pl.when(changed_fin)
+    def _():
+        pack_stale_words(delta)
+        sf = sweep(make_tab(m1, False))
+        mcache_ref[0:8, :] = sf[0:8]
+
+    @pl.when(jnp.logical_not(changed_fin))
+    def _():
+        mcache_ref[0:8, :] = m1[0:8]
+
+    stats_f = mcache_ref[0:8, :]
     gcnt = stats_f[0:1]
     resid = stats_f[4:5] / jnp.maximum(gcnt, 1.0)
     resid = jnp.where(gcnt >= 3.0, resid, inf)
