@@ -32,7 +32,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .se3 import se3_apply, se3_exp, se3_inverse
+from .se3 import se3_apply, se3_compose, se3_exp, se3_inverse
 
 __all__ = ["BAProblem", "ba_residuals", "bundle_adjust", "bundle_adjust_sharded"]
 
@@ -61,7 +61,7 @@ def _obs_blocks(poses, points, prob: BAProblem):
 
     def one(Tk, Xl, p, w):
         def res(xi, dx):
-            T = Tk @ se3_exp(xi)
+            T = se3_compose(Tk, se3_exp(xi))
             return (se3_apply(se3_inverse(T), (Xl + dx)[None, :])[0] - p) * w
 
         z6 = jnp.zeros((6,), _F32)
@@ -120,21 +120,123 @@ def _schur_solve(A, B, C, ba, bx, k, l, damping, anchor_weight):
     return dp, dx
 
 
+def _schur_pcg_step(poses, points, prob: BAProblem, k, l, damping,
+                    anchor_weight, cg_iters, cg_tol):
+    """One Gauss-Newton step with the reduced pose system solved by
+    MATRIX-FREE preconditioned CG — nothing of size O(K*L) is ever
+    materialized (the dense path's ``B (K,6,L,3)`` block is 2.8 GB at
+    K=1000/L=40k and XLA:TPU additionally materializes an O(K*L)
+    broadcast applying C^-1 to it).  Every S-matvec is four
+    per-observation gathers/segment-sums + the block-diagonal terms:
+    O(O) work and memory, MegBA-style.
+    """
+    r, Jp, Jx = _obs_blocks(poses, points, prob)
+    eye3 = jnp.eye(3, dtype=_F32)
+    eye6 = jnp.eye(6, dtype=_F32)
+
+    A = jnp.zeros((k, 6, 6), _F32).at[prob.obs_k].add(
+        jnp.einsum("oai,oaj->oij", Jp, Jp, precision="highest"))
+    C = jnp.zeros((l, 3, 3), _F32).at[prob.obs_l].add(
+        jnp.einsum("oai,oaj->oij", Jx, Jx, precision="highest"))
+    C_inv = jnp.linalg.inv(C + damping * eye3[None])
+    W = jnp.einsum("oai,oaj->oij", Jp, Jx, precision="highest")  # (O,6,3)
+    ba = jnp.zeros((k, 6), _F32).at[prob.obs_k].add(
+        jnp.einsum("oai,oa->oi", Jp, r, precision="highest"))
+    bx = jnp.zeros((l, 3), _F32).at[prob.obs_l].add(
+        jnp.einsum("oai,oa->oi", Jx, r, precision="highest"))
+
+    cb = jnp.einsum("lcd,ld->lc", C_inv, bx, precision="highest")
+    rhs = ba - jnp.zeros((k, 6), _F32).at[prob.obs_k].add(
+        jnp.einsum("oic,oc->oi", W, cb[prob.obs_l], precision="highest"))
+
+    anchor = jnp.zeros((k,), _F32).at[0].set(_F32(anchor_weight))
+
+    def hvp(v):  # v (K,6) -> S v, never forming S
+        av = (jnp.einsum("kij,kj->ki", A, v, precision="highest")
+              + damping * v + anchor[:, None] * v)
+        y = jnp.zeros((l, 3), _F32).at[prob.obs_l].add(
+            jnp.einsum("oic,oi->oc", W, v[prob.obs_k], precision="highest"))
+        z = jnp.einsum("lcd,ld->lc", C_inv, y, precision="highest")
+        bz = jnp.zeros((k, 6), _F32).at[prob.obs_k].add(
+            jnp.einsum("oic,oc->oi", W, z[prob.obs_l], precision="highest"))
+        return av - bz
+
+    # block-Jacobi preconditioner from the (always PD) A + damping + anchor
+    M_inv = jnp.linalg.inv(
+        A + (damping + anchor[:, None, None]) * eye6[None])
+
+    def prec(res):
+        return jnp.einsum("kij,kj->ki", M_inv, res, precision="highest")
+
+    b_norm2 = jnp.sum(rhs * rhs)
+    tol2 = _F32(cg_tol) ** 2 * jnp.maximum(b_norm2, 1e-30)
+    x0 = jnp.zeros((k, 6), _F32)
+    r0 = rhs
+    z0 = prec(r0)
+
+    def cond(st):
+        _, res, *_, it = st
+        return (jnp.sum(res * res) > tol2) & (it < cg_iters)
+
+    def body(st):
+        x, res, z, p, rz, it = st
+        sp_ = hvp(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * sp_), 1e-30)
+        x = x + alpha * p
+        res = res - alpha * sp_
+        z = prec(res)
+        rz_new = jnp.sum(res * z)
+        p = z + (rz_new / jnp.maximum(rz, 1e-30)) * p
+        return x, res, z, p, rz_new, it + 1
+
+    x, *_ = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, z0, jnp.sum(r0 * z0), jnp.int32(0)))
+    dp = -x
+
+    y = jnp.zeros((l, 3), _F32).at[prob.obs_l].add(
+        jnp.einsum("oic,oi->oc", W, dp[prob.obs_k], precision="highest"))
+    dx = -jnp.einsum("lcd,ld->lc", C_inv, bx + y, precision="highest")
+    return dp, dx
+
+
+# dense-B block-assembly budget: above this many (pose, landmark) cells the
+# O(K*L) blocks would not fit (or compile) on a single chip -> matrix-free
+_DENSE_KL_LIMIT = 1_000_000
+
+
 def bundle_adjust(
     prob: BAProblem,
     iters: int = 8,
     damping: float = 1e-4,
     anchor_weight: float = 1e6,
+    solver: str | None = None,
+    cg_iters: int | None = None,
+    cg_tol: float = 1e-6,
 ) -> BAProblem:
-    """Single-device Schur-complement Gauss-Newton BA."""
+    """Single-device Schur-complement Gauss-Newton BA.
+
+    solver: 'dense' (explicit B / S, direct solve — exact, small
+    problems), 'pcg' (matrix-free Schur matvecs + block-Jacobi CG —
+    O(observations) memory, any scale), or None to auto-select by the
+    K*L block count (dense below _DENSE_KL_LIMIT).
+    """
     k = prob.poses.shape[0]
     l = prob.points.shape[0]
+    if solver is None:
+        solver = "dense" if k * l <= _DENSE_KL_LIMIT else "pcg"
+    if cg_iters is None:
+        cg_iters = min(max(128, k), 2048)
 
     def step(state, _):
         poses, points = state
-        A, B, C, ba, bx = _partial_normal_eqs(poses, points, prob, k, l)
-        dp, dx = _schur_solve(A, B, C, ba, bx, k, l, damping, anchor_weight)
-        return (poses @ se3_exp(dp), points + dx), None
+        if solver == "dense":
+            A, B, C, ba, bx = _partial_normal_eqs(poses, points, prob, k, l)
+            dp, dx = _schur_solve(A, B, C, ba, bx, k, l, damping,
+                                  anchor_weight)
+        else:
+            dp, dx = _schur_pcg_step(poses, points, prob, k, l, damping,
+                                     anchor_weight, cg_iters, cg_tol)
+        return (se3_compose(poses, se3_exp(dp)), points + dx), None
 
     (poses, points), _ = jax.lax.scan(
         step, (prob.poses, prob.points), None, length=iters
@@ -165,7 +267,7 @@ def bundle_adjust_sharded(
         parts = _partial_normal_eqs(poses, points, shard, k, l)
         A, B, C, ba, bx = jax.lax.psum(parts, axis)
         dp, dx = _schur_solve(A, B, C, ba, bx, k, l, damping, anchor_weight)
-        return poses @ se3_exp(dp), points + dx
+        return se3_compose(poses, se3_exp(dp)), points + dx
 
     smapped = jax.shard_map(
         step_sharded,

@@ -24,7 +24,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .se3 import se3_exp, se3_inverse, se3_log
+from .se3 import se3_compose, se3_exp, se3_inverse, se3_log
 
 __all__ = ["PoseGraph", "edge_residuals", "optimize_pose_graph",
            "sparsify_pose_graph", "ate_rmse"]
@@ -44,7 +44,8 @@ def edge_residuals(poses: jax.Array, g: PoseGraph) -> jax.Array:
     """(E, 6) twist residuals r_e = log(T_meas^-1 T_i^-1 T_j)."""
     Ti = poses[g.edge_i]
     Tj = poses[g.edge_j]
-    return se3_log(se3_inverse(g.edge_T) @ se3_inverse(Ti) @ Tj)
+    return se3_log(se3_compose(
+        se3_compose(se3_inverse(g.edge_T), se3_inverse(Ti)), Tj))
 
 
 def _edge_jacobians(poses: jax.Array, g: PoseGraph):
@@ -52,7 +53,10 @@ def _edge_jacobians(poses: jax.Array, g: PoseGraph):
 
     def res_one(Ti, Tj, Tm, xi_i, xi_j):
         return se3_log(
-            se3_inverse(Tm) @ se3_inverse(Ti @ se3_exp(xi_i)) @ (Tj @ se3_exp(xi_j))
+            se3_compose(se3_compose(
+                se3_inverse(Tm),
+                se3_inverse(se3_compose(Ti, se3_exp(xi_i)))),
+                se3_compose(Tj, se3_exp(xi_j)))
         )
 
     zeros = jnp.zeros((6,), _F32)
@@ -196,7 +200,7 @@ def optimize_pose_graph(
             b = b.at[g.edge_i].add(blocks[3]).at[g.edge_j].add(blocks[4])
             delta = -_pcg_solve(g, blocks, b, damping, anchor_weight,
                                 cg_iters, cg_tol)
-        return poses @ se3_exp(delta), None
+        return se3_compose(poses, se3_exp(delta)), None
 
     poses, _ = jax.lax.scan(step, g.poses, None, length=iters)
     return g._replace(poses=poses)
@@ -245,7 +249,7 @@ def sparsify_pose_graph(g: PoseGraph, max_degree: int = 6) -> PoseGraph:
 def ate_rmse(poses: jax.Array, gt_poses: jax.Array) -> jax.Array:
     """Absolute trajectory error (translation RMSE) after aligning the
     first pose (no global alignment; keyframe 0 is the gauge)."""
-    align = gt_poses[0] @ se3_inverse(poses[0])
-    aligned = align[None] @ poses
+    align = se3_compose(gt_poses[0], se3_inverse(poses[0]))
+    aligned = se3_compose(align[None], poses)
     d = aligned[:, :3, 3] - gt_poses[:, :3, 3]
     return jnp.sqrt(jnp.mean(jnp.sum(d * d, axis=-1)))

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.geometry import fit_plane_masked
-from .se3 import se3_apply, se3_exp
+from .se3 import se3_apply, se3_compose, se3_exp
 
 __all__ = ["MatchResult", "nearest_neighbors", "icp_ground_constrained"]
 
@@ -100,7 +100,7 @@ def icp_ground_constrained(
         )
 
         def residuals(xi):
-            Txi = T @ se3_exp(xi)
+            Txi = se3_compose(T, se3_exp(xi))
             r_pp = (se3_apply(Txi, src_obst) - q) * w_obst[:, None]  # (N, 3)
             r_pl = (
                 jnp.einsum("ni,i->n", se3_apply(Txi, src_ground) - g_c, g_n,
@@ -117,7 +117,7 @@ def icp_ground_constrained(
         # Levenberg damping for robustness on poor geometry
         H = H + 1e-4 * jnp.eye(6, dtype=_F32) * jnp.maximum(jnp.trace(H) / 6.0, 1.0)
         delta = -jnp.linalg.solve(H, b)
-        T_new = T @ se3_exp(delta)
+        T_new = se3_compose(T, se3_exp(delta))
 
         n_in = jnp.sum(w_obst).astype(jnp.int32)
         rmse = jnp.sqrt(

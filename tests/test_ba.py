@@ -94,6 +94,29 @@ class TestBA:
         assert pose_err(out.poses, gt_poses) < 1e-3
         assert float(np.abs(np.asarray(out.points) - gt_points).max()) < 1e-2
 
+    def test_pcg_matches_dense(self):
+        """The matrix-free Schur-PCG solver (the large-K*L path that never
+        materializes the O(K*L) B block — slam/ba.py _schur_pcg_step) must
+        agree with the explicit dense solve on a problem small enough to
+        run both."""
+        prob, gt_poses, _ = make_problem(k=8, l=32)
+        outd = bundle_adjust(prob, iters=5, solver="dense")
+        outp = bundle_adjust(prob, iters=5, solver="pcg")
+        diff = float(np.abs(np.asarray(outd.poses) - np.asarray(outp.poses)).max())
+        assert diff < 1e-3, diff
+        rd = float(jnp.sum(ba_residuals(outd.poses, outd.points, prob) ** 2))
+        rp = float(jnp.sum(ba_residuals(outp.poses, outp.points, prob) ** 2))
+        assert rp < rd * 1.05 + 1e-6
+
+    def test_auto_solver_switches_at_scale(self):
+        from patchwork_tpu.slam.ba import _DENSE_KL_LIMIT
+
+        # 1000 kf x 40k landmarks (the recorded TPU OOM shape) must route
+        # to the matrix-free path: K*L far beyond the dense block budget
+        assert 1000 * 40000 > _DENSE_KL_LIMIT
+        # while the test problems stay on the (bitwise-stable) dense path
+        assert 8 * 32 <= _DENSE_KL_LIMIT
+
     @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
     def test_sharded_matches_single(self):
         prob, gt_poses, _ = make_problem()
