@@ -1473,29 +1473,17 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
         delta_n = (m1n[_CH : _CH + 1] > 0.0).astype(jnp.float32)
         return m1n, jnp.sum(m1n[_CH : _CH + 1]) > 0.0, it + 1, delta_n
 
-    m1, changed_fin, _, delta = jax.lax.while_loop(
+    m1, _, _, delta = jax.lax.while_loop(
         fcond, fbody, (m1_0, True, jnp.int32(0), delta0))
 
     # ---- phase 6: final fit, residual, split decision (cpp:219-235) -----
-    # Skipped when the loop exited by CONVERGENCE (changed == 0): the
-    # converged mask equals the previous iteration's, so its moments — and
-    # therefore the re-fit plane and the distance sum the final sweep
-    # would accumulate — are bitwise the values already in ``m1`` (same
-    # per-tile blocks in the same order; the dirty-tile cache invariant
-    # guarantees cached == dense recompute).  Only a max_iter exit (mask
-    # still changing) needs the extra re-fit sweep(s).  Saves one full
-    # iteration cost per level — two sweeps in exact mode, one in fast.
-    @pl.when(changed_fin)
-    def _():
-        pack_stale_words(delta)
-        sf = sweep(make_tab(m1, False))
-        mcache_ref[0:8, :] = sf[0:8]
-
-    @pl.when(jnp.logical_not(changed_fin))
-    def _():
-        mcache_ref[0:8, :] = m1[0:8]
-
-    stats_f = mcache_ref[0:8, :]
+    # NOT convergence-gated like _mega_kernel's final sweep: here the
+    # dirty-tile caches already make a converged-state sweep nearly free
+    # (delta is all-zero, every tile clean -> pure cache adds), and an
+    # A/B on v5e measured the pl.when gate 2-4% SLOWER on the demo scene
+    # (branch + stats stash overhead) with no velodyne gain.
+    pack_stale_words(delta)
+    stats_f = sweep(make_tab(m1, False))
     gcnt = stats_f[0:1]
     resid = stats_f[4:5] / jnp.maximum(gcnt, 1.0)
     resid = jnp.where(gcnt >= 3.0, resid, inf)

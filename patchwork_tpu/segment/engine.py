@@ -171,17 +171,25 @@ def _fused_fit_resid(cfg, xyz, seg, tau_pt, active, fit_pt, ground, num_segs):
         g2, stats2 = fused_apply(p, g, tab, num_segs)
         return g2, stats2, jnp.sum(stats2[5]) > 0.0, it + 1
 
-    g, stats, _, _ = jax.lax.while_loop(
+    g, stats, changed_fin, _ = jax.lax.while_loop(
         _cond, _body, (g0, stats0, jnp.bool_(True), jnp.int32(0))
     )
 
     # final fit of the converged mask -> residual (cpp:219-228); can=0 so
-    # the sweep only accumulates the distance sum
-    ctab, gcnt, normal = _plane(g, stats)
-    tab = jnp.concatenate(
-        [ctab[0:3], normal, jnp.zeros((2, sp), _F32)], axis=0
-    )
-    _, stats_f = fused_apply(p, g, tab, num_segs)
+    # the sweep only accumulates the distance sum.  Skipped on a
+    # CONVERGENCE exit: the mask equals the previous iteration's, so the
+    # re-fit plane and distance sum are bitwise the values already in
+    # ``stats`` (same as the megakernel's phase-6 skip).
+    def _refit(_):
+        ctab, _, normal = _plane(g, stats)
+        tab = jnp.concatenate(
+            [ctab[0:3], normal, jnp.zeros((2, sp), _F32)], axis=0
+        )
+        _, sf = fused_apply(p, g, tab, num_segs)
+        return sf
+
+    stats_f = jax.lax.cond(changed_fin, _refit, lambda _: stats, None)
+    gcnt = stats_f[0]
     resid = stats_f[4] / jnp.maximum(gcnt, 1.0)
     resid = jnp.where(gcnt >= 3.0, resid, _INF)
     return g[0, :n] > 0.5, gcnt[:num_segs], resid[:num_segs]

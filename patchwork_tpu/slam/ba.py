@@ -121,7 +121,7 @@ def _schur_solve(A, B, C, ba, bx, k, l, damping, anchor_weight):
 
 
 def _schur_pcg_step(poses, points, prob: BAProblem, k, l, damping,
-                    anchor_weight, cg_iters, cg_tol):
+                    anchor_weight, cg_iters, cg_tol, axis=None):
     """One Gauss-Newton step with the reduced pose system solved by
     MATRIX-FREE preconditioned CG — nothing of size O(K*L) is ever
     materialized (the dense path's ``B (K,6,L,3)`` block is 2.8 GB at
@@ -129,36 +129,42 @@ def _schur_pcg_step(poses, points, prob: BAProblem, k, l, damping,
     broadcast applying C^-1 to it).  Every S-matvec is four
     per-observation gathers/segment-sums + the block-diagonal terms:
     O(O) work and memory, MegBA-style.
+
+    ``axis``: inside shard_map, the mesh axis observations are sharded
+    over — every per-observation reduction is psum-combined so all
+    devices run the identical (replicated) CG iteration; the collective
+    payload per matvec is O(K + L) block data, observation-independent.
     """
+    red = (lambda x: jax.lax.psum(x, axis)) if axis is not None else (lambda x: x)
     r, Jp, Jx = _obs_blocks(poses, points, prob)
     eye3 = jnp.eye(3, dtype=_F32)
     eye6 = jnp.eye(6, dtype=_F32)
 
-    A = jnp.zeros((k, 6, 6), _F32).at[prob.obs_k].add(
-        jnp.einsum("oai,oaj->oij", Jp, Jp, precision="highest"))
-    C = jnp.zeros((l, 3, 3), _F32).at[prob.obs_l].add(
-        jnp.einsum("oai,oaj->oij", Jx, Jx, precision="highest"))
+    A = red(jnp.zeros((k, 6, 6), _F32).at[prob.obs_k].add(
+        jnp.einsum("oai,oaj->oij", Jp, Jp, precision="highest")))
+    C = red(jnp.zeros((l, 3, 3), _F32).at[prob.obs_l].add(
+        jnp.einsum("oai,oaj->oij", Jx, Jx, precision="highest")))
     C_inv = jnp.linalg.inv(C + damping * eye3[None])
     W = jnp.einsum("oai,oaj->oij", Jp, Jx, precision="highest")  # (O,6,3)
-    ba = jnp.zeros((k, 6), _F32).at[prob.obs_k].add(
-        jnp.einsum("oai,oa->oi", Jp, r, precision="highest"))
-    bx = jnp.zeros((l, 3), _F32).at[prob.obs_l].add(
-        jnp.einsum("oai,oa->oi", Jx, r, precision="highest"))
+    ba = red(jnp.zeros((k, 6), _F32).at[prob.obs_k].add(
+        jnp.einsum("oai,oa->oi", Jp, r, precision="highest")))
+    bx = red(jnp.zeros((l, 3), _F32).at[prob.obs_l].add(
+        jnp.einsum("oai,oa->oi", Jx, r, precision="highest")))
 
     cb = jnp.einsum("lcd,ld->lc", C_inv, bx, precision="highest")
-    rhs = ba - jnp.zeros((k, 6), _F32).at[prob.obs_k].add(
-        jnp.einsum("oic,oc->oi", W, cb[prob.obs_l], precision="highest"))
+    rhs = ba - red(jnp.zeros((k, 6), _F32).at[prob.obs_k].add(
+        jnp.einsum("oic,oc->oi", W, cb[prob.obs_l], precision="highest")))
 
     anchor = jnp.zeros((k,), _F32).at[0].set(_F32(anchor_weight))
 
     def hvp(v):  # v (K,6) -> S v, never forming S
         av = (jnp.einsum("kij,kj->ki", A, v, precision="highest")
               + damping * v + anchor[:, None] * v)
-        y = jnp.zeros((l, 3), _F32).at[prob.obs_l].add(
-            jnp.einsum("oic,oi->oc", W, v[prob.obs_k], precision="highest"))
+        y = red(jnp.zeros((l, 3), _F32).at[prob.obs_l].add(
+            jnp.einsum("oic,oi->oc", W, v[prob.obs_k], precision="highest")))
         z = jnp.einsum("lcd,ld->lc", C_inv, y, precision="highest")
-        bz = jnp.zeros((k, 6), _F32).at[prob.obs_k].add(
-            jnp.einsum("oic,oc->oi", W, z[prob.obs_l], precision="highest"))
+        bz = red(jnp.zeros((k, 6), _F32).at[prob.obs_k].add(
+            jnp.einsum("oic,oc->oi", W, z[prob.obs_l], precision="highest")))
         return av - bz
 
     # block-Jacobi preconditioner from the (always PD) A + damping + anchor
@@ -193,8 +199,8 @@ def _schur_pcg_step(poses, points, prob: BAProblem, k, l, damping,
         cond, body, (x0, r0, z0, z0, jnp.sum(r0 * z0), jnp.int32(0)))
     dp = -x
 
-    y = jnp.zeros((l, 3), _F32).at[prob.obs_l].add(
-        jnp.einsum("oic,oi->oc", W, dp[prob.obs_k], precision="highest"))
+    y = red(jnp.zeros((l, 3), _F32).at[prob.obs_l].add(
+        jnp.einsum("oic,oi->oc", W, dp[prob.obs_k], precision="highest")))
     dx = -jnp.einsum("lcd,ld->lc", C_inv, bx + y, precision="highest")
     return dp, dx
 
@@ -251,22 +257,39 @@ def bundle_adjust_sharded(
     iters: int = 8,
     damping: float = 1e-4,
     anchor_weight: float = 1e6,
+    solver: str | None = None,
+    cg_iters: int | None = None,
+    cg_tol: float = 1e-6,
 ) -> BAProblem:
     """Distributed BA: observations shard over ``axis``; each device
     reduces partial normal equations, psum combines them over the ICI
     mesh axis, the reduced solve is replicated.  Observation count must be
     divisible by the axis size (pad with obs_w = 0).
+
+    solver follows bundle_adjust: 'dense' psums the explicit blocks
+    (O(K*L) payload), 'pcg' psums per-observation reductions inside the
+    matrix-free CG (O(K + L) payload per matvec), None auto-selects.
     """
     from jax.sharding import PartitionSpec as P
 
     k = prob.poses.shape[0]
     l = prob.points.shape[0]
+    if solver is None:
+        solver = "dense" if k * l <= _DENSE_KL_LIMIT else "pcg"
+    if cg_iters is None:
+        cg_iters = min(max(128, k), 2048)
 
     def step_sharded(poses, points, obs_k, obs_l, obs_p, obs_w):
         shard = BAProblem(poses, points, obs_k, obs_l, obs_p, obs_w)
-        parts = _partial_normal_eqs(poses, points, shard, k, l)
-        A, B, C, ba, bx = jax.lax.psum(parts, axis)
-        dp, dx = _schur_solve(A, B, C, ba, bx, k, l, damping, anchor_weight)
+        if solver == "dense":
+            parts = _partial_normal_eqs(poses, points, shard, k, l)
+            A, B, C, ba, bx = jax.lax.psum(parts, axis)
+            dp, dx = _schur_solve(A, B, C, ba, bx, k, l, damping,
+                                  anchor_weight)
+        else:
+            dp, dx = _schur_pcg_step(poses, points, shard, k, l, damping,
+                                     anchor_weight, cg_iters, cg_tol,
+                                     axis=axis)
         return se3_compose(poses, se3_exp(dp)), points + dx
 
     smapped = jax.shard_map(

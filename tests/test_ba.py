@@ -118,6 +118,19 @@ class TestBA:
         assert 8 * 32 <= _DENSE_KL_LIMIT
 
     @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+    def test_sharded_pcg_matches_single(self):
+        """Sharded matrix-free BA (psum'd per-observation reductions inside
+        CG, O(K+L) collective payload per matvec) vs the single-device PCG
+        solver."""
+        prob, gt_poses, _ = make_problem(k=8, l=32)
+        mesh = make_mesh(8, dp=8, sp=1)
+        out_s = bundle_adjust_sharded(prob, mesh, axis="dp", iters=4,
+                                      solver="pcg")
+        out_1 = bundle_adjust(prob, iters=4, solver="pcg")
+        diff = float(np.abs(np.asarray(out_s.poses) - np.asarray(out_1.poses)).max())
+        assert diff < 1e-3, diff
+
+    @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
     def test_sharded_matches_single(self):
         prob, gt_poses, _ = make_problem()
         mesh = make_mesh(8, dp=8, sp=1)
