@@ -120,6 +120,33 @@ def _schur_solve(A, B, C, ba, bx, k, l, damping, anchor_weight):
     return dp, dx
 
 
+def _make_seg_sums(idx: jax.Array, n: int):
+    """Scatter-free segment-sum closure for a fixed index vector.
+
+    TPU scatter-add serializes on duplicate indices, and the PCG matvec
+    is two scatters per application — measured 66 s for the 1000-kf BA
+    stage on v5e (vs 14 s CPU).  Sorting the observations once per
+    index vector turns every segment reduction into gather + cumsum +
+    two boundary gathers, all perfectly parallel on TPU.  The argsort /
+    searchsorted are loop-invariant: XLA hoists them out of the CG
+    while_loop and the GN scan.
+    """
+    perm = jnp.argsort(idx)
+    sorted_idx = idx[perm]
+    seg = jnp.arange(n, dtype=idx.dtype)
+    starts = jnp.searchsorted(sorted_idx, seg, side="left")
+    ends = jnp.searchsorted(sorted_idx, seg, side="right")
+
+    def seg_sum(vals):  # (O, ...) in original obs order -> (n, ...)
+        v = vals[perm]
+        c = jnp.cumsum(v, axis=0)
+        c = jnp.concatenate(
+            [jnp.zeros((1,) + v.shape[1:], v.dtype), c], axis=0)
+        return c[ends] - c[starts]
+
+    return seg_sum
+
+
 def _schur_pcg_step(poses, points, prob: BAProblem, k, l, damping,
                     anchor_weight, cg_iters, cg_tol, axis=None):
     """One Gauss-Newton step with the reduced pose system solved by
@@ -139,20 +166,18 @@ def _schur_pcg_step(poses, points, prob: BAProblem, k, l, damping,
     r, Jp, Jx = _obs_blocks(poses, points, prob)
     eye3 = jnp.eye(3, dtype=_F32)
     eye6 = jnp.eye(6, dtype=_F32)
+    seg_k = _make_seg_sums(prob.obs_k, k)
+    seg_l = _make_seg_sums(prob.obs_l, l)
 
-    A = red(jnp.zeros((k, 6, 6), _F32).at[prob.obs_k].add(
-        jnp.einsum("oai,oaj->oij", Jp, Jp, precision="highest")))
-    C = red(jnp.zeros((l, 3, 3), _F32).at[prob.obs_l].add(
-        jnp.einsum("oai,oaj->oij", Jx, Jx, precision="highest")))
+    A = red(seg_k(jnp.einsum("oai,oaj->oij", Jp, Jp, precision="highest")))
+    C = red(seg_l(jnp.einsum("oai,oaj->oij", Jx, Jx, precision="highest")))
     C_inv = jnp.linalg.inv(C + damping * eye3[None])
     W = jnp.einsum("oai,oaj->oij", Jp, Jx, precision="highest")  # (O,6,3)
-    ba = red(jnp.zeros((k, 6), _F32).at[prob.obs_k].add(
-        jnp.einsum("oai,oa->oi", Jp, r, precision="highest")))
-    bx = red(jnp.zeros((l, 3), _F32).at[prob.obs_l].add(
-        jnp.einsum("oai,oa->oi", Jx, r, precision="highest")))
+    ba = red(seg_k(jnp.einsum("oai,oa->oi", Jp, r, precision="highest")))
+    bx = red(seg_l(jnp.einsum("oai,oa->oi", Jx, r, precision="highest")))
 
     cb = jnp.einsum("lcd,ld->lc", C_inv, bx, precision="highest")
-    rhs = ba - red(jnp.zeros((k, 6), _F32).at[prob.obs_k].add(
+    rhs = ba - red(seg_k(
         jnp.einsum("oic,oc->oi", W, cb[prob.obs_l], precision="highest")))
 
     anchor = jnp.zeros((k,), _F32).at[0].set(_F32(anchor_weight))
@@ -160,10 +185,10 @@ def _schur_pcg_step(poses, points, prob: BAProblem, k, l, damping,
     def hvp(v):  # v (K,6) -> S v, never forming S
         av = (jnp.einsum("kij,kj->ki", A, v, precision="highest")
               + damping * v + anchor[:, None] * v)
-        y = red(jnp.zeros((l, 3), _F32).at[prob.obs_l].add(
+        y = red(seg_l(
             jnp.einsum("oic,oi->oc", W, v[prob.obs_k], precision="highest")))
         z = jnp.einsum("lcd,ld->lc", C_inv, y, precision="highest")
-        bz = red(jnp.zeros((k, 6), _F32).at[prob.obs_k].add(
+        bz = red(seg_k(
             jnp.einsum("oic,oc->oi", W, z[prob.obs_l], precision="highest")))
         return av - bz
 
@@ -199,7 +224,7 @@ def _schur_pcg_step(poses, points, prob: BAProblem, k, l, damping,
         cond, body, (x0, r0, z0, z0, jnp.sum(r0 * z0), jnp.int32(0)))
     dp = -x
 
-    y = red(jnp.zeros((l, 3), _F32).at[prob.obs_l].add(
+    y = red(seg_l(
         jnp.einsum("oic,oi->oc", W, dp[prob.obs_k], precision="highest")))
     dx = -jnp.einsum("lcd,ld->lc", C_inv, bx + y, precision="highest")
     return dp, dx
