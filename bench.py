@@ -137,13 +137,23 @@ def main():
     _refresh_floors(args, head_rate, extra)
 
 
+_FLOOR_HISTORY = 5  # full runs kept per metric; recorded = median of these
+
+
 def _refresh_floors(args, head_rate, extra):
-    """Ratchet BENCH_FLOORS.json up from a full default-shape TPU run.
+    """Record this full default-shape TPU run into BENCH_FLOORS.json.
 
     The perf guard (tests/test_perf_regression.py) derives its floors from
-    this file, so floors track the newest measurement instead of drifting
-    stale (VERDICT r2 item 3).  Values only ratchet UP: a regressed run
-    cannot silently lower its own floor.  CPU runs never refresh.
+    this file, so floors track real measurements instead of drifting stale
+    (VERDICT r2 item 3).  The tunnel's day-to-day variance spans +-5% to
+    +47% (VERDICT r3 item 3: one fast-tunnel run ratcheted the old
+    max-based floor ABOVE a normal day's throughput, arming the guard to
+    false-fail).  So instead of ratcheting on the maximum, every run
+    appends to a short per-metric history and ``recorded`` becomes the
+    MEDIAN of the last _FLOOR_HISTORY runs — one outlier day (fast or
+    slow) cannot move the floor by more than its weight in the median,
+    and a genuine regression still needs to persist across runs before it
+    can lower its own floor.  CPU runs never refresh.
     """
     import os
 
@@ -162,6 +172,7 @@ def _refresh_floors(args, head_rate, extra):
     except (OSError, ValueError):
         return
     rec = doc.setdefault("recorded", {})
+    hist = doc.setdefault("history", {})
     fresh = {
         "velodyne_fast_scans_per_s": head_rate,
         "velodyne_exact_scans_per_s": extra.get("velodyne_exact_scans_per_s"),
@@ -169,11 +180,17 @@ def _refresh_floors(args, head_rate, extra):
     }
     changed = False
     for k, v in fresh.items():
-        if v is not None and round(v, 3) > rec.get(k, 0.0):
-            rec[k] = round(v, 3)
-            changed = True
+        if v is None:
+            continue
+        runs = hist.setdefault(k, [rec[k]] if k in rec else [])
+        runs.append(round(v, 3))
+        del runs[:-_FLOOR_HISTORY]
+        med = sorted(runs)[(len(runs) - 1) // 2]  # lower median: conservative
+        if rec.get(k) != med:
+            rec[k] = med
+        changed = True
     if changed:
-        doc["source"] = "bench.py auto-ratchet"
+        doc["source"] = "bench.py auto-refresh (median of history)"
         with open(path, "w") as f:
             json.dump(doc, f, indent=2)
 

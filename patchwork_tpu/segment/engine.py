@@ -56,7 +56,10 @@ from .segops import SegOps, default_impl, sort_by_segment
 __all__ = ["filter_ground", "make_filter_ground", "make_filter_ground_batched"]
 
 _F32 = jnp.float32
-_INF = jnp.float32(jnp.inf)
+# np scalar, NOT jnp.float32(inf): materializing a device array at import
+# time initializes the XLA backend (dialing the TPU tunnel in prod, and
+# breaking jax.distributed.initialize for any later multi-process setup).
+_INF = np.float32(np.inf)
 
 
 def _cov_normal(m2: jax.Array, gcnt: jax.Array):
@@ -179,7 +182,13 @@ def _fused_fit_resid(cfg, xyz, seg, tau_pt, active, fit_pt, ground, num_segs):
     # the sweep only accumulates the distance sum.  Skipped on a
     # CONVERGENCE exit: the mask equals the previous iteration's, so the
     # re-fit plane and distance sum are bitwise the values already in
-    # ``stats`` (same as the megakernel's phase-6 skip).
+    # ``stats`` (same as the megakernel's phase-6 skip).  NOTE (ADVICE
+    # r3): under jax.vmap (make_filter_ground_batched's fallback) this
+    # lax.cond lowers to select and BOTH branches execute, so the skip
+    # saves nothing there — correctness is unaffected (per-element
+    # selection still picks the right stats), and the batched production
+    # path is the level megakernel, whose pl.when gate does skip per
+    # batch element.
     def _refit(_):
         ctab, _, normal = _plane(g, stats)
         tab = jnp.concatenate(

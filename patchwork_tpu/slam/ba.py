@@ -27,6 +27,7 @@ observation count.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -120,17 +121,48 @@ def _schur_solve(A, B, C, ba, bx, k, l, damping, anchor_weight):
     return dp, dx
 
 
-def _make_seg_sums(idx: jax.Array, n: int):
-    """Scatter-free segment-sum closure for a fixed index vector.
+def _make_seg_sums(idx: jax.Array, n: int, impl: str | None = None):
+    """Segment-sum closure for a fixed index vector, impl-selectable.
 
     TPU scatter-add serializes on duplicate indices, and the PCG matvec
-    is two scatters per application — measured 66 s for the 1000-kf BA
-    stage on v5e (vs 14 s CPU).  Sorting the observations once per
-    index vector turns every segment reduction into gather + cumsum +
-    two boundary gathers, all perfectly parallel on TPU.  The argsort /
-    searchsorted are loop-invariant: XLA hoists them out of the CG
-    while_loop and the GN scan.
+    is two segment reductions per application — measured 66 s for the
+    1000-kf BA stage on v5e (vs 14 s CPU) with '.at[].add'.  Impls
+    (PATCHWORK_TPU_BA_SEG overrides; A/B with tools/ba_bench.py):
+
+    * 'sort': sort the observations once per index vector; every segment
+      reduction becomes gather + cumsum + two boundary gathers.  The
+      argsort / searchsorted are loop-invariant: XLA hoists them out of
+      the CG while_loop and the GN scan.  Caveat (ADVICE r3): the global
+      f32 prefix sum can catastrophically cancel for very large O with
+      wide-magnitude values — validated fine at 1000 kf (ATE 7.311 vs
+      CPU 7.315).
+    * 'onehot': materialize the (n, O) one-hot indicator once (loop-
+      invariant, trace-time closure) and reduce every segment sum as ONE
+      MXU matmul — the same trick that makes the engine's segment ops
+      ~9x faster than scatter at KITTI scale (segment/segops.py).
+      f32-exact: one-hot rows select, never mix, so precision='highest'
+      matmul accumulation matches a per-segment tree reduce.
+    * 'scatter': plain '.at[].add' (XLA scatter-add) — the golden path.
     """
+    impl = impl or os.environ.get("PATCHWORK_TPU_BA_SEG", "sort")
+
+    if impl == "scatter":
+        def seg_sum(vals):  # (O, ...) -> (n, ...)
+            return jnp.zeros((n,) + vals.shape[1:], vals.dtype).at[idx].add(vals)
+
+        return seg_sum
+
+    if impl == "onehot":
+        oh = (idx[None, :] == jnp.arange(n, dtype=idx.dtype)[:, None])
+        oh = oh.astype(_F32)  # (n, O), built once at trace time
+
+        def seg_sum(vals):  # (O, ...) -> (n, ...)
+            flat = vals.reshape(vals.shape[0], -1)
+            out = jnp.matmul(oh, flat, precision="highest")
+            return out.reshape((n,) + vals.shape[1:])
+
+        return seg_sum
+
     perm = jnp.argsort(idx)
     sorted_idx = idx[perm]
     seg = jnp.arange(n, dtype=idx.dtype)

@@ -365,20 +365,33 @@ def build_ba_problem(
 
 
 def refine_with_ba(odo, iters: int = 6, voxel: float = 1.5,
-                   gate: float = 1.0, mesh=None) -> np.ndarray:
+                   gate: float = 1.0, mesh=None,
+                   timings: dict | None = None) -> np.ndarray:
     """Run landmark BA over a LidarOdometry's keyframes; updates poses.
 
     ``mesh`` switches to the distributed solver (observations sharded,
-    psum-combined normal equations).
+    psum-combined normal equations).  ``timings``: optional dict that
+    receives per-stage wall times (extract/associate/solve) plus the
+    problem dimensions — the attribution hook for SLAM_TPU artifacts.
     """
+    import time as _time
+
+    t0 = _time.perf_counter()
     keyframe_obs = []
     for f in odo._frames:
         pts = np.asarray(f["obst"])[np.asarray(f["obst_valid"])]
         keyframe_obs.append(extract_observations(pts, voxel=voxel))
+    t1 = _time.perf_counter()
     prob, n_obs = build_ba_problem(
         np.stack(odo.poses), keyframe_obs, gate=gate,
         pad_multiple=(mesh.devices.size if mesh is not None else 8),
     )
+    t2 = _time.perf_counter()
+    if timings is not None:
+        timings.update(
+            extract_s=round(t1 - t0, 2), associate_s=round(t2 - t1, 2),
+            n_keyframes=len(keyframe_obs), n_landmarks=int(prob.points.shape[0]),
+            n_obs=int(n_obs))
     if n_obs == 0:
         return np.stack(odo.poses)
     if mesh is None:
@@ -390,5 +403,7 @@ def refine_with_ba(odo, iters: int = 6, voxel: float = 1.5,
 
         out = bundle_adjust_sharded(prob, mesh, iters=iters)
     poses = np.asarray(out.poses)
+    if timings is not None:
+        timings["solve_s"] = round(_time.perf_counter() - t2, 2)
     odo.poses = [p for p in poses]
     return poses

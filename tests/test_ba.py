@@ -108,14 +108,62 @@ class TestBA:
         rp = float(jnp.sum(ba_residuals(outp.poses, outp.points, prob) ** 2))
         assert rp < rd * 1.05 + 1e-6
 
-    def test_auto_solver_switches_at_scale(self):
-        from patchwork_tpu.slam.ba import _DENSE_KL_LIMIT
+    def test_auto_solver_switches_at_scale(self, monkeypatch):
+        from patchwork_tpu.slam import ba as ba_mod
 
         # 1000 kf x 40k landmarks (the recorded TPU OOM shape) must route
         # to the matrix-free path: K*L far beyond the dense block budget
-        assert 1000 * 40000 > _DENSE_KL_LIMIT
+        assert 1000 * 40000 > ba_mod._DENSE_KL_LIMIT
         # while the test problems stay on the (bitwise-stable) dense path
-        assert 8 * 32 <= _DENSE_KL_LIMIT
+        assert 8 * 32 <= ba_mod._DENSE_KL_LIMIT
+
+        # actually DRIVE the solver=None auto-dispatch (ADVICE r3): with
+        # the limit forced below this problem's K*L, auto must take the
+        # pcg branch — bitwise-identical poses to an explicit solver='pcg'
+        prob, *_ = make_problem(k=8, l=32)
+        monkeypatch.setattr(ba_mod, "_DENSE_KL_LIMIT", 8 * 32 - 1)
+        out_auto = ba_mod.bundle_adjust(prob, iters=3, solver=None)
+        out_pcg = ba_mod.bundle_adjust(prob, iters=3, solver="pcg")
+        assert np.array_equal(np.asarray(out_auto.poses),
+                              np.asarray(out_pcg.poses))
+        # and with the limit restored above K*L, auto takes the dense path
+        monkeypatch.setattr(ba_mod, "_DENSE_KL_LIMIT", 8 * 32 + 1)
+        out_auto_d = ba_mod.bundle_adjust(prob, iters=3, solver=None)
+        out_dense = ba_mod.bundle_adjust(prob, iters=3, solver="dense")
+        assert np.array_equal(np.asarray(out_auto_d.poses),
+                              np.asarray(out_dense.poses))
+
+    def test_seg_sum_impls_agree(self):
+        """All three segment-sum impls (sort-cumsum / one-hot matmul /
+        scatter-add, slam/ba.py _make_seg_sums) must agree; 'onehot' and
+        'scatter' are reduction-order-exact vs each other on TPU-friendly
+        data, 'sort' to prefix-sum f32 tolerance (ADVICE r3 precision
+        note)."""
+        from patchwork_tpu.slam.ba import _make_seg_sums
+
+        rng = np.random.default_rng(5)
+        n, o = 37, 4096
+        idx = jnp.asarray(rng.integers(0, n, o).astype(np.int32))
+        vals = jnp.asarray(rng.normal(0, 1, (o, 6)).astype(np.float32))
+        outs = {impl: np.asarray(_make_seg_sums(idx, n, impl=impl)(vals))
+                for impl in ("sort", "onehot", "scatter")}
+        np.testing.assert_allclose(outs["onehot"], outs["scatter"],
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(outs["sort"], outs["scatter"],
+                                   rtol=1e-4, atol=1e-3)
+
+    def test_pcg_seg_impls_match(self, monkeypatch):
+        """bundle_adjust(solver='pcg') poses must agree across the
+        PATCHWORK_TPU_BA_SEG impl knob (the hardware A/B lever,
+        tools/ba_bench.py)."""
+        prob, *_ = make_problem(k=8, l=32)
+        outs = {}
+        for impl in ("sort", "onehot", "scatter"):
+            monkeypatch.setenv("PATCHWORK_TPU_BA_SEG", impl)
+            outs[impl] = np.asarray(
+                bundle_adjust(prob, iters=4, solver="pcg").poses)
+        np.testing.assert_allclose(outs["onehot"], outs["scatter"], atol=1e-5)
+        np.testing.assert_allclose(outs["sort"], outs["scatter"], atol=1e-4)
 
     @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
     def test_sharded_pcg_matches_single(self):

@@ -7,11 +7,14 @@ claims stay tied to a measurement instead of drifting (round-1 VERDICT
 item 8).
 
 Floors are NOT hard-coded (they went stale within one round when they
-were, round-2 VERDICT item 3): they derive from BENCH_FLOORS.json, which
-every full default-shape TPU bench run ratchets UP to the newest
-measurement.  The guard asserts >= floor_fraction (default 0.75) of the
-newest recorded number — ~25% headroom for tunnel noise while still
-catching real regressions against the engine's own best.
+were, round-2 VERDICT item 3): they derive from BENCH_FLOORS.json, where
+``recorded`` is the LOWER MEDIAN of the last few full default-shape TPU
+bench runs (bench.py appends each run to a short history).  Median-of-
+history replaced the round-3 ratchet-on-max after one fast-tunnel-day
+outlier armed the max-based floor above a normal day's throughput
+(VERDICT r3 item 3).  The guard asserts >= floor_fraction (default 0.75)
+of the recorded median — headroom for tunnel noise while still catching
+real regressions against the engine's own typical performance.
 
 Usage:  PATCHWORK_TPU_PERF=1 python -m pytest tests/test_perf_regression.py -q
 """

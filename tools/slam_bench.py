@@ -101,7 +101,8 @@ def run(num_keyframes: int = 100, seed: int = 3, ba_iters: int = 4,
     ate_graph = float(odo.trajectory_error(gt))
 
     t0 = time.perf_counter()
-    refine_with_ba(odo, iters=ba_iters)
+    ba_detail = {}
+    refine_with_ba(odo, iters=ba_iters, timings=ba_detail)
     t_ba = time.perf_counter() - t0
     ate_ba = float(odo.trajectory_error(gt))
 
@@ -119,6 +120,7 @@ def run(num_keyframes: int = 100, seed: int = 3, ba_iters: int = 4,
         "wall_s": round(total, 2),
         "stage_s": {"odometry": round(t_odo, 2), "loops": round(t_loops, 2),
                     "graph": round(t_graph, 2), "ba": round(t_ba, 2)},
+        "ba_detail": ba_detail,
     }
     log(json.dumps(out))
     return out
