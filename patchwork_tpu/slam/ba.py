@@ -58,23 +58,51 @@ def ba_residuals(poses, points, prob: BAProblem) -> jax.Array:
 
 
 def _obs_blocks(poses, points, prob: BAProblem):
-    """Per-observation residual + Jacobian blocks (Jp (O,3,6), Jx (O,3,3))."""
+    """Per-observation residual + Jacobian blocks (Jp (O,3,6), Jx (O,3,3)).
 
-    def one(Tk, Xl, p, w):
-        def res(xi, dx):
-            T = se3_compose(Tk, se3_exp(xi))
-            return (se3_apply(se3_inverse(T), (Xl + dx)[None, :])[0] - p) * w
+    Impls (PATCHWORK_TPU_BA_JAC): 'analytic' (default) closed-form
+    Jacobians of the right-perturbation residual — for T' = T.exp(xi),
+    xi = (v, omega), y = R^T (X - t): dr/dv = -w I, dr/domega = w [y]x,
+    dr/dX = w R^T (three tiny einsums, no exp-map chain in the jaxpr);
+    'jacfwd' differentiates through se3_exp/compose/inverse/apply with
+    forward-mode AD (the original path, kept as the differential oracle —
+    tests/test_ba.py asserts both agree).  A/B on hardware with
+    tools/ba_bench.py before changing the default (CLAUDE.md rule).
+    """
+    if os.environ.get("PATCHWORK_TPU_BA_JAC", "analytic") == "jacfwd":
+        def one(Tk, Xl, p, w):
+            def res(xi, dx):
+                T = se3_compose(Tk, se3_exp(xi))
+                return (se3_apply(se3_inverse(T), (Xl + dx)[None, :])[0] - p) * w
 
-        z6 = jnp.zeros((6,), _F32)
-        z3 = jnp.zeros((3,), _F32)
-        r = res(z6, z3)
-        Jp = jax.jacfwd(res, argnums=0)(z6, z3)  # (3, 6)
-        Jx = jax.jacfwd(res, argnums=1)(z6, z3)  # (3, 3)
-        return r, Jp, Jx
+            z6 = jnp.zeros((6,), _F32)
+            z3 = jnp.zeros((3,), _F32)
+            r = res(z6, z3)
+            Jp = jax.jacfwd(res, argnums=0)(z6, z3)  # (3, 6)
+            Jx = jax.jacfwd(res, argnums=1)(z6, z3)  # (3, 3)
+            return r, Jp, Jx
 
-    return jax.vmap(one)(
-        poses[prob.obs_k], points[prob.obs_l], prob.obs_p, prob.obs_w
-    )
+        return jax.vmap(one)(
+            poses[prob.obs_k], points[prob.obs_l], prob.obs_p, prob.obs_w
+        )
+
+    Tk = poses[prob.obs_k]                       # (O, 4, 4)
+    R = Tk[:, :3, :3]
+    w = prob.obs_w[:, None]
+    y = jnp.einsum("oij,oi->oj", R, points[prob.obs_l] - Tk[:, :3, 3],
+                   precision="highest")          # R^T (X - t): local coords
+    r = (y - prob.obs_p) * w
+
+    o = jnp.zeros_like(y[:, 0])
+    skew_y = jnp.stack([
+        jnp.stack([o, -y[:, 2], y[:, 1]], axis=-1),
+        jnp.stack([y[:, 2], o, -y[:, 0]], axis=-1),
+        jnp.stack([-y[:, 1], y[:, 0], o], axis=-1),
+    ], axis=-2)                                  # (O, 3, 3) [y]x
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=_F32), skew_y.shape)
+    Jp = jnp.concatenate([-eye, skew_y], axis=-1) * w[:, :, None]  # (O, 3, 6)
+    Jx = jnp.swapaxes(R, -1, -2) * w[:, :, None]                   # (O, 3, 3)
+    return r, Jp, Jx
 
 
 def _partial_normal_eqs(poses, points, prob: BAProblem, k: int, l: int):
@@ -121,6 +149,55 @@ def _schur_solve(A, B, C, ba, bx, k, l, damping, anchor_weight):
     return dp, dx
 
 
+def _inv3x3(m: jax.Array) -> jax.Array:
+    """Batched closed-form 3x3 inverse (adjugate / det).
+
+    XLA:TPU lowers jnp.linalg.inv through a batched LU with dynamic
+    control flow; for the tiny PD blocks of the Schur solver the
+    adjugate form is branch-free straight-line code (PATCHWORK_TPU_BA_INV
+    knob; A/B with tools/ba_bench.py before changing the default)."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / det
+    adj = jnp.stack([
+        jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1),
+        jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1),
+        jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1),
+    ], axis=-2)
+    return adj * inv_det[..., None, None]
+
+
+def _inv6x6(m: jax.Array) -> jax.Array:
+    """Batched 6x6 inverse via the 2x2-of-3x3 block Schur complement —
+    every sub-inverse is the branch-free :func:`_inv3x3` (valid for the
+    PD pose blocks this solver inverts)."""
+    P, Q = m[..., :3, :3], m[..., :3, 3:]
+    R, S = m[..., 3:, :3], m[..., 3:, 3:]
+    Pi = _inv3x3(P)
+    RPi = R @ Pi
+    D = S - RPi @ Q
+    Di = _inv3x3(D)
+    PiQ = Pi @ Q
+    tl = Pi + PiQ @ Di @ RPi
+    tr = -PiQ @ Di
+    bl = -Di @ RPi
+    top = jnp.concatenate([tl, tr], axis=-1)
+    bot = jnp.concatenate([bl, Di], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _batched_inv(m: jax.Array) -> jax.Array:
+    """Impl-selectable batched small-matrix inverse ((...,3,3) or (...,6,6))."""
+    if os.environ.get("PATCHWORK_TPU_BA_INV", "closed") == "lapack":
+        return jnp.linalg.inv(m)
+    return _inv3x3(m) if m.shape[-1] == 3 else _inv6x6(m)
+
+
 def _make_seg_sums(idx: jax.Array, n: int, impl: str | None = None):
     """Segment-sum closure for a fixed index vector, impl-selectable.
 
@@ -143,8 +220,21 @@ def _make_seg_sums(idx: jax.Array, n: int, impl: str | None = None):
       f32-exact: one-hot rows select, never mix, so precision='highest'
       matmul accumulation matches a per-segment tree reduce.
     * 'scatter': plain '.at[].add' (XLA scatter-add) — the golden path.
+
+    Default (backend-dependent, both arms measured at 1000 kf / 40k obs
+    with tools/ba_bench.py, 2026-08-20): TPU -> 'onehot' while the (n, O)
+    indicator stays under ~400 MB, else 'sort' (v5e solve 0.19 s onehot
+    vs 0.285 sort vs 0.391 scatter; cold compile 6.7 s vs 200+ s for the
+    sort path's argsort/cumsum/searchsorted machinery under jacfwd);
+    CPU -> 'sort' (1.63 s vs 9.95 s — a dense (n, O) matmul is exactly
+    what a CPU is bad at and a systolic MXU is built for).
     """
-    impl = impl or os.environ.get("PATCHWORK_TPU_BA_SEG", "sort")
+    if impl is None:
+        impl = os.environ.get("PATCHWORK_TPU_BA_SEG")
+    if impl is None:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        o = int(idx.shape[0])
+        impl = "onehot" if on_tpu and n * o * 4 <= 400_000_000 else "sort"
 
     if impl == "scatter":
         def seg_sum(vals):  # (O, ...) -> (n, ...)
@@ -203,7 +293,7 @@ def _schur_pcg_step(poses, points, prob: BAProblem, k, l, damping,
 
     A = red(seg_k(jnp.einsum("oai,oaj->oij", Jp, Jp, precision="highest")))
     C = red(seg_l(jnp.einsum("oai,oaj->oij", Jx, Jx, precision="highest")))
-    C_inv = jnp.linalg.inv(C + damping * eye3[None])
+    C_inv = _batched_inv(C + damping * eye3[None])
     W = jnp.einsum("oai,oaj->oij", Jp, Jx, precision="highest")  # (O,6,3)
     ba = red(seg_k(jnp.einsum("oai,oa->oi", Jp, r, precision="highest")))
     bx = red(seg_l(jnp.einsum("oai,oa->oi", Jx, r, precision="highest")))
@@ -225,7 +315,7 @@ def _schur_pcg_step(poses, points, prob: BAProblem, k, l, damping,
         return av - bz
 
     # block-Jacobi preconditioner from the (always PD) A + damping + anchor
-    M_inv = jnp.linalg.inv(
+    M_inv = _batched_inv(
         A + (damping + anchor[:, None, None]) * eye6[None])
 
     def prec(res):

@@ -138,10 +138,14 @@ class LidarOdometry:
         Each pass runs ``pair_chunk`` ICPs per device dispatch; poses are
         composed on the host afterwards (K tiny 4x4 matmuls).
         """
+        import time as _time
+
         if seeds is None:
             seeds = range(len(scans))
         seeds = list(seeds)
         feats = []   # parallel mode: collect features, defer matching
+        t0 = _time.perf_counter()
+        o = None
         for s0 in range(0, len(scans), batch):
             chunk = scans[s0 : s0 + batch]
             padded = [self._pad(p) for p in chunk]
@@ -156,6 +160,16 @@ class LidarOdometry:
                 for i in range(len(chunk)):
                     self._ingest({"obst": o[i], "obst_valid": ov[i],
                                   "ground": g[i], "ground_valid": gv[i]})
+        # stage attribution (meaningful in parallel mode, where extraction
+        # and matching are distinct passes; the sequential chain interleaves
+        # them inside _ingest): tunnel-honest sync before taking the split.
+        if parallel_icp and o is not None:
+            float(o.sum())
+            key = "extract_s"
+        else:
+            key = "extract_and_icp_s"
+        self.last_timings = {key: round(_time.perf_counter() - t0, 2)}
+        t0 = _time.perf_counter()
         if parallel_icp:
             if self.cfg.keyframe_every != 1:
                 raise ValueError("parallel_icp requires keyframe_every == 1")
@@ -170,6 +184,7 @@ class LidarOdometry:
                 "ground_valid": jnp.concatenate([f[3] for f in feats]),
             }
             self._ingest_parallel(stacked, pair_chunk)
+        self.last_timings["icp_s"] = round(_time.perf_counter() - t0, 2)
         return np.stack(self.poses)
 
     def _solve_pairs(self, stacked: dict, pair_idx: np.ndarray,

@@ -152,6 +152,48 @@ class TestBA:
         np.testing.assert_allclose(outs["sort"], outs["scatter"],
                                    rtol=1e-4, atol=1e-3)
 
+    def test_analytic_jacobians_match_jacfwd(self, monkeypatch):
+        """The closed-form right-perturbation Jacobians (slam/ba.py
+        _obs_blocks 'analytic') must match forward-mode AD through the
+        full exp-map chain to f32 rounding."""
+        from patchwork_tpu.slam.ba import _obs_blocks
+
+        prob, *_ = make_problem(k=5, l=16)
+        outs = {}
+        for impl in ("analytic", "jacfwd"):
+            monkeypatch.setenv("PATCHWORK_TPU_BA_JAC", impl)
+            outs[impl] = _obs_blocks(prob.poses, prob.points, prob)
+        for a, b, name in zip(outs["analytic"], outs["jacfwd"],
+                              ("r", "Jp", "Jx")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5, err_msg=name)
+
+    def test_closed_form_inverses(self):
+        """_inv3x3/_inv6x6 (branch-free adjugate + block-Schur) vs
+        jnp.linalg.inv on random PD batches."""
+        from patchwork_tpu.slam.ba import _inv3x3, _inv6x6
+
+        rng = np.random.default_rng(2)
+        for d, fn in ((3, _inv3x3), (6, _inv6x6)):
+            a = rng.normal(0, 1, (64, d, d)).astype(np.float32)
+            m = a @ a.transpose(0, 2, 1) + 0.1 * np.eye(d, dtype=np.float32)
+            got = np.asarray(fn(jnp.asarray(m)))
+            ref = np.linalg.inv(m)
+            np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+    def test_pcg_jac_inv_impls_match(self, monkeypatch):
+        """bundle_adjust(solver='pcg') poses must agree across the
+        Jacobian and inverse impl knobs (the compile-time levers)."""
+        prob, *_ = make_problem(k=8, l=32)
+        outs = {}
+        for jac, inv in (("analytic", "closed"), ("jacfwd", "lapack")):
+            monkeypatch.setenv("PATCHWORK_TPU_BA_JAC", jac)
+            monkeypatch.setenv("PATCHWORK_TPU_BA_INV", inv)
+            outs[jac] = np.asarray(
+                bundle_adjust(prob, iters=4, solver="pcg").poses)
+        np.testing.assert_allclose(outs["analytic"], outs["jacfwd"],
+                                   atol=1e-4)
+
     def test_pcg_seg_impls_match(self, monkeypatch):
         """bundle_adjust(solver='pcg') poses must agree across the
         PATCHWORK_TPU_BA_SEG impl knob (the hardware A/B lever,

@@ -85,12 +85,18 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--seg", default=None,
                     choices=[None, "sort", "onehot", "scatter"])
+    ap.add_argument("--jac", default=None, choices=[None, "analytic", "jacfwd"])
+    ap.add_argument("--inv", default=None, choices=[None, "closed", "lapack"])
     ap.add_argument("--solver", default="pcg", choices=["pcg", "dense"])
     ap.add_argument("--cg-iters", type=int, default=None)
     ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()
     if args.seg:
         os.environ["PATCHWORK_TPU_BA_SEG"] = args.seg
+    if args.jac:
+        os.environ["PATCHWORK_TPU_BA_JAC"] = args.jac
+    if args.inv:
+        os.environ["PATCHWORK_TPU_BA_INV"] = args.inv
 
     import jax
     from patchwork_tpu.slam.ba import bundle_adjust, ba_residuals
@@ -134,6 +140,8 @@ def main():
         "obs": int(prob.obs_k.shape[0]),
         "solver": args.solver,
         "seg": os.environ.get("PATCHWORK_TPU_BA_SEG", "sort"),
+        "jac": os.environ.get("PATCHWORK_TPU_BA_JAC", "analytic"),
+        "inv": os.environ.get("PATCHWORK_TPU_BA_INV", "closed"),
         "iters": args.iters,
         "build_s": round(build_s, 3),
         "compile_s": round(compile_s, 3),

@@ -120,6 +120,7 @@ def run(num_keyframes: int = 100, seed: int = 3, ba_iters: int = 4,
         "wall_s": round(total, 2),
         "stage_s": {"odometry": round(t_odo, 2), "loops": round(t_loops, 2),
                     "graph": round(t_graph, 2), "ba": round(t_ba, 2)},
+        "odometry_detail": getattr(odo, "last_timings", {}),
         "ba_detail": ba_detail,
     }
     log(json.dumps(out))
