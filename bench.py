@@ -140,6 +140,28 @@ def main():
 _FLOOR_HISTORY = 5  # full runs kept per metric; recorded = median of these
 
 
+def _update_floor_doc(doc, fresh):
+    """Append fresh full-run values to the history, recompute medians.
+
+    Pure helper (unit-tested in tests/test_utils.py): ``recorded[k]``
+    becomes the LOWER MEDIAN of the last _FLOOR_HISTORY appended runs.
+    """
+    rec = doc.setdefault("recorded", {})
+    hist = doc.setdefault("history", {})
+    changed = False
+    for k, v in fresh.items():
+        if v is None:
+            continue
+        runs = hist.setdefault(k, [rec[k]] if k in rec else [])
+        runs.append(round(v, 3))
+        del runs[:-_FLOOR_HISTORY]
+        med = sorted(runs)[(len(runs) - 1) // 2]  # lower median: conservative
+        if rec.get(k) != med:
+            rec[k] = med
+        changed = True
+    return changed
+
+
 def _refresh_floors(args, head_rate, extra):
     """Record this full default-shape TPU run into BENCH_FLOORS.json.
 
@@ -171,25 +193,12 @@ def _refresh_floors(args, head_rate, extra):
             doc = json.load(f)
     except (OSError, ValueError):
         return
-    rec = doc.setdefault("recorded", {})
-    hist = doc.setdefault("history", {})
     fresh = {
         "velodyne_fast_scans_per_s": head_rate,
         "velodyne_exact_scans_per_s": extra.get("velodyne_exact_scans_per_s"),
         "demo_fast_scans_per_s": extra.get("demo_fast_scans_per_s"),
     }
-    changed = False
-    for k, v in fresh.items():
-        if v is None:
-            continue
-        runs = hist.setdefault(k, [rec[k]] if k in rec else [])
-        runs.append(round(v, 3))
-        del runs[:-_FLOOR_HISTORY]
-        med = sorted(runs)[(len(runs) - 1) // 2]  # lower median: conservative
-        if rec.get(k) != med:
-            rec[k] = med
-        changed = True
-    if changed:
+    if _update_floor_doc(doc, fresh):
         doc["source"] = "bench.py auto-refresh (median of history)"
         with open(path, "w") as f:
             json.dump(doc, f, indent=2)

@@ -376,11 +376,19 @@ def refine_with_ba(odo, iters: int = 6, voxel: float = 1.5,
     """
     import time as _time
 
+    import jax.numpy as _jnp
+
     t0 = _time.perf_counter()
-    keyframe_obs = []
-    for f in odo._frames:
-        pts = np.asarray(f["obst"])[np.asarray(f["obst_valid"])]
-        keyframe_obs.append(extract_observations(pts, voxel=voxel))
+    # ONE stacked device->host transfer for all keyframes: per-frame
+    # np.asarray fetches cost a tunnel round trip EACH — measured 51 s of
+    # the 78 s 1000-kf TPU BA stage before this batching (2026-08-20,
+    # /tmp slam1000_v2 attribution; the whole stack is ~24 MB).
+    obst = np.asarray(_jnp.stack([f["obst"] for f in odo._frames]))
+    obst_valid = np.asarray(_jnp.stack([f["obst_valid"] for f in odo._frames]))
+    keyframe_obs = [
+        extract_observations(obst[i][obst_valid[i]], voxel=voxel)
+        for i in range(len(odo._frames))
+    ]
     t1 = _time.perf_counter()
     prob, n_obs = build_ba_problem(
         np.stack(odo.poses), keyframe_obs, gate=gate,

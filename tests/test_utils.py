@@ -104,6 +104,27 @@ class TestDeviceAndDebug:
         assert len(info) >= 1 and "platform" in info[0]
         cleanup()
 
+    def test_floor_median_update(self):
+        """bench._update_floor_doc: recorded = lower median of the last 5
+        appended runs — one fast-tunnel-day outlier must not raise the
+        floor above a typical day (VERDICT r3 item 3)."""
+        import bench
+
+        doc = {"recorded": {"m": 1000.0}}
+        # outlier run: median of [1000, 1554] is the LOWER value
+        assert bench._update_floor_doc(doc, {"m": 1554.2})
+        assert doc["recorded"]["m"] == 1000.0
+        # normal days keep the floor at the typical level
+        for v in (990.0, 1016.0, 1020.0):
+            bench._update_floor_doc(doc, {"m": v})
+        assert doc["recorded"]["m"] == 1016.0  # median(1000,1554,990,1016,1020)
+        # history is capped at 5: the seed value rotates out
+        bench._update_floor_doc(doc, {"m": 995.0})
+        assert doc["history"]["m"] == [1554.2, 990.0, 1016.0, 1020.0, 995.0]
+        assert doc["recorded"]["m"] == 1016.0
+        # None values are ignored
+        assert bench._update_floor_doc(doc, {"x": None}) is False
+
     def test_multihost_noop(self):
         from patchwork_tpu.parallel.multihost import (
             host_summary,

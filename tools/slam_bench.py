@@ -57,7 +57,8 @@ def simulate_loop_drive(num_frames: int, seed: int = 0,
 
 
 def run(num_keyframes: int = 100, seed: int = 3, ba_iters: int = 4,
-        laps: int | None = None, icp: str = "sequential", log=print):
+        laps: int | None = None, icp: str = "sequential",
+        batch: int = 8, pair_chunk: int = 32, log=print):
     from patchwork_tpu import PatchworkConfig
     from patchwork_tpu.slam import LidarOdometry
     from patchwork_tpu.slam.landmarks import refine_with_ba
@@ -77,7 +78,8 @@ def run(num_keyframes: int = 100, seed: int = 3, ba_iters: int = 4,
     # icp='sequential' keeps the exact constant-velocity chain;
     # icp='parallel' solves all consecutive pairs vmapped (identity init +
     # selective warm-start retry) — the throughput mode for long sessions.
-    odo.add_scans(scans, parallel_icp=(icp == "parallel"))
+    odo.add_scans(scans, parallel_icp=(icp == "parallel"),
+                  batch=batch, pair_chunk=pair_chunk)
     t_odo = time.perf_counter() - t0
 
     ate_odo = float(odo.trajectory_error(gt))
@@ -113,6 +115,8 @@ def run(num_keyframes: int = 100, seed: int = 3, ba_iters: int = 4,
         "unit": "m",
         "keyframes": num_keyframes,
         "icp": icp,
+        "batch": batch,
+        "pair_chunk": pair_chunk,
         "loop_closures": len(accepted),
         "ate_odometry_m": round(ate_odo, 4),
         "ate_posegraph_m": round(ate_graph, 4),
@@ -138,9 +142,14 @@ def main():
                     choices=["sequential", "parallel"],
                     help="odometry ICP chain: exact sequential warm-start "
                          "chain, or vmapped parallel pair solves")
+    ap.add_argument("--batch", type=int, default=8,
+                    help="scans per batched segmentation dispatch")
+    ap.add_argument("--pair-chunk", type=int, default=32,
+                    help="ICP pair solves per dispatch (parallel mode)")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
-    out = run(args.keyframes, args.seed, laps=args.laps, icp=args.icp)
+    out = run(args.keyframes, args.seed, laps=args.laps, icp=args.icp,
+              batch=args.batch, pair_chunk=args.pair_chunk)
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(out, f)
