@@ -769,27 +769,28 @@ def seg_order_stat(vals: jax.Array, seg: jax.Array, valid: jax.Array,
 #          inherit their parent's, cpp:286-287) for feeding the next level.
 
 
-_BAND_W = 32   # banded one-hot width: 31 real slots + 1 trash/out-of-band
-# perf knobs (bitwise-neutral either way), read at import:
+# perf knob (bitwise-neutral either way), read at import:
 # - the one-hot VMEM cache measurably wins on v5e (A/B 2026-08-20:
 #   velodyne 1059 fast / 634 exact with it vs 928/575 before it landed)
-#   and defaults ON (PATCHWORK_TPU_OHT_CACHE=0 disables);
-# - the banded compact sweeps looked good in interpret-mode flop counts
-#   but are ~2x SLOWER on real v5e (529 fast vs 1059 dense same-day A/B:
-#   the per-tile band conds + double placement matmuls beat the saved
-#   operand traffic), so they default OFF (PATCHWORK_TPU_BANDED=1 opts
-#   in; the bitwise parity tests keep covering the path).
+#   and defaults ON (PATCHWORK_TPU_OHT_CACHE=0 disables).
+# A second knob used to gate "banded compact sweeps" (contract each tile
+# against a 32-wide compact one-hot band instead of the dense (Sp, T)
+# one).  They cut MXU flops 4x in interpret-mode counts but measured ~2x
+# SLOWER on real v5e twice (529 vs 1059 r3; 531 vs 1068 r4 probes), could
+# not engage at all in their hypothesized winning regimes (num_sectors
+# >> 10 exceeds the megakernel's VMEM budget before banding matters; the
+# B=1 arm never finished compiling inside 20 min), and were DELETED in
+# round 4 — see ARCHITECTURE.md "banded compact sweeps" for the full
+# cautionary writeup.
 _ENABLE_OHT_CACHE = os.environ.get("PATCHWORK_TPU_OHT_CACHE") != "0"
-_ENABLE_BANDED = os.environ.get("PATCHWORK_TPU_BANDED") == "1"
 _TILE_OVERRIDE = None   # tests: force a level_megakernel tile size
 
 
 def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
                   mcache_ref, pres_ref, words_ref, live_ref, ohtc_ref,
-                  ohc_ref, band_ref, *, sp, tile, max_iter, is_level0,
+                  *, sp, tile, max_iter, is_level0,
                   min_seed, flat_area, flat_dz, flat_minpts, fast, adaptive,
-                  seed_percentile, th_seeds, remap, trash, cache_oht,
-                  banded):
+                  seed_percentile, th_seeds, remap, trash, cache_oht):
     n = p_ref.shape[1]
     ntiles = n // tile
     n_words = (ntiles + 31) // 32
@@ -822,54 +823,13 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
             return ohtc_ref[:, sl]
         return oht_sl(sl).astype(jnp.bfloat16)
 
-    # ---- banded compact one-hot (level 0 only) ---------------------------
-    # Streaming LiDAR clouds arrive azimuth-ordered, so under the engine's
-    # sector-major level-0 relabeling (segment/engine._fused_levels) the
-    # active ids of one tile span a CONTIGUOUS band of <= 2 sectors x R
-    # rings << Sp.  Per tile the census (fill loop) records the band start
-    # b_t (or -1 when the span exceeds _BAND_W-1: that tile keeps the dense
-    # path).  A banded tile contracts against a (_BAND_W, T) compact
-    # one-hot instead of the (Sp, T) dense one — 4x fewer MXU flops and 4x
-    # less VMEM operand traffic per sweep — and maps band slots to global
-    # columns with the exact one-hot placement matmul E_t.  Every banded
-    # value is bitwise the dense value: tab gathers select single columns
-    # exactly, the tile contraction over T is the identical sum, and the
-    # expansion places single products exactly (trash/out-of-band points
-    # land in slot _BAND_W-1 whose E row is zero, and every accumulated row
-    # is activity-masked, so their contribution is exactly the dense
-    # path's zero).
-    def band_E(b):
-        """(W, Sp) bf16 placement: slot w -> column b + w (last slot void)."""
-        rw = jax.lax.broadcasted_iota(jnp.int32, (_BAND_W, sp), 0)
-        cs = jax.lax.broadcasted_iota(jnp.int32, (_BAND_W, sp), 1)
-        return ((rw + b == cs) & (rw < _BAND_W - 1)).astype(jnp.bfloat16)
-
     def gat_via(tparts, t, sl):
-        """Gather node rows to points: banded when tile t has a band."""
-        if not banded:
-            return _dot3(tparts, oht_b(sl), ((1,), (0,)))
-        b = band_ref[t]
-
-        def _band():
-            tab_cw = _dot3(tparts, band_E(b), ((1,), (1,)))
-            return _dot3(_split3(tab_cw), ohc_ref[:, sl], ((1,), (0,)))
-
-        return jax.lax.cond(b >= 0, _band,
-                            lambda: _dot3(tparts, oht_b(sl), ((1,), (0,))))
+        """Gather node rows to points: (rows, Sp) x (Sp, T) MXU contraction."""
+        return _dot3(tparts, oht_b(sl), ((1,), (0,)))
 
     def acc_via(prod, t, sl):
-        """Accumulate point rows into node columns: banded when possible."""
-        parts = _split3(prod)
-        if not banded:
-            return _dot3(parts, oht_b(sl), ((1,), (1,)))
-        b = band_ref[t]
-
-        def _band():
-            partial = _dot3(parts, ohc_ref[:, sl], ((1,), (1,)))
-            return _dot3(_split3(partial), band_E(b), ((1,), (0,)))
-
-        return jax.lax.cond(b >= 0, _band,
-                            lambda: _dot3(parts, oht_b(sl), ((1,), (1,))))
+        """Accumulate point rows into node columns: (rows, T) x (T, Sp)."""
+        return _dot3(_split3(prod), oht_b(sl), ((1,), (1,)))
 
     def act_sl(sl):
         """(1, T) 0/1 activity from the live seg (trash = inactive)."""
@@ -897,22 +857,10 @@ def _level_kernel(p_ref, tab_ref, state_ref, stats_ref, acache_ref,
     if not remap:
         state_ref[3:4, :] = p_ref[3:4, :]
         if cache_oht:
-            idw = jax.lax.broadcasted_iota(
-                jnp.int32, (_BAND_W, 1), 0).astype(jnp.float32)
-
             def fill_body(t, _):
                 sl = pl.ds(t * tile, tile)
                 seg = state_ref[3:4, sl]
                 ohtc_ref[:, sl] = (ids == seg).astype(jnp.bfloat16)
-                if banded:
-                    a = seg < trash_f
-                    lo = jnp.min(jnp.where(a, seg, jnp.float32(sp)))
-                    hi = jnp.max(jnp.where(a, seg, -1.0))
-                    ok = (hi - lo) <= jnp.float32(_BAND_W - 2)
-                    b = jnp.maximum(jnp.where(hi < 0.0, 0.0, lo), 0.0)
-                    band_ref[t] = jnp.where(ok, b, -1.0).astype(jnp.int32)
-                    cid = jnp.where(a, seg - b, jnp.float32(_BAND_W - 1))
-                    ohc_ref[:, sl] = (idw == cid).astype(jnp.bfloat16)
                 return 0
 
             jax.lax.fori_loop(0, ntiles, fill_body, 0)
@@ -1540,26 +1488,23 @@ def level_megakernel(pts: jax.Array, tables: jax.Array, num_segs: int,
     # fit loop runs more than a couple of sweeps (always, in practice) and
     # fits comfortably at level-0 widths; skipped when it would crowd VMEM.
     cache_oht = sp * n * 2 <= 48 * 1024 * 1024 and _ENABLE_OHT_CACHE
-    # Banded fit-loop sweeps (opt-in, see _ENABLE_BANDED): level 0 only —
-    # child-slot ids at remap levels are rank-compacted, not contiguous.
-    banded = cache_oht and not remap and _ENABLE_BANDED
     return _level_megakernel_jit(
         pts, tables, num_segs, max_iter, is_level0, min_seed, flat_area,
         flat_dz, flat_minpts, tile, fast, adaptive, seed_percentile,
-        th_seeds, remap, cache_oht, banded)
+        th_seeds, remap, cache_oht)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "num_segs", "max_iter", "is_level0", "min_seed", "flat_area", "flat_dz",
     "flat_minpts", "tile", "fast", "adaptive", "seed_percentile", "th_seeds",
-    "remap", "cache_oht", "banded"))
+    "remap", "cache_oht"))
 def _level_megakernel_jit(pts: jax.Array, tables: jax.Array, num_segs: int,
                           max_iter: int, is_level0: bool, min_seed: int,
                           flat_area: float, flat_dz: float, flat_minpts: int,
                           tile: int, fast: bool = False,
                           adaptive: bool = True, seed_percentile: float = 0.1,
                           th_seeds: float = 0.15, remap: bool = False,
-                          cache_oht: bool = True, banded: bool = False):
+                          cache_oht: bool = True):
     """Run one complete level of the engine in a single kernel launch.
 
     See the module-level comment above :func:`_level_kernel` for the row
@@ -1584,7 +1529,7 @@ def _level_megakernel_jit(pts: jax.Array, tables: jax.Array, num_segs: int,
             flat_minpts=flat_minpts, fast=fast, adaptive=adaptive,
             seed_percentile=float(seed_percentile),
             th_seeds=float(th_seeds), remap=remap, trash=num_segs - 1,
-            cache_oht=cache_oht, banded=banded),
+            cache_oht=cache_oht),
         grid=(1,),
         in_specs=[
             pl.BlockSpec((8, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -1606,9 +1551,6 @@ def _level_megakernel_jit(pts: jax.Array, tables: jax.Array, num_segs: int,
             pltpu.SMEM(((ntiles + 31) // 32,), jnp.int32),    # live words
             pltpu.VMEM((sp, n) if cache_oht else (8, 128),
                        jnp.bfloat16),                         # one-hot cache
-            pltpu.VMEM((_BAND_W, n) if banded else (8, 128),
-                       jnp.bfloat16),                   # banded one-hot
-            pltpu.SMEM((ntiles,), jnp.int32),           # band starts (-1=dense)
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

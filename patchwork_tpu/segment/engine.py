@@ -263,29 +263,18 @@ def _fused_levels(cfg, xyz, pa, tau_patch, zth_patch):
             seed_percentile=cfg.seed_percentile, th_seeds=cfg.th_seeds,
             remap=remap)
 
-    # ---- level 0: node id == SECTOR-MAJOR relabeled patch id ----
-    # sigma(r*S + s) = s*R + r.  Azimuth-ordered scans (how spinning
-    # sensors stream) then give every kernel tile a CONTIGUOUS band of
-    # live ids, enabling the banded compact sweeps
-    # (kernels/fit_pallas.py band_E — 4x less MXU/VMEM work per sweep).
-    # Bitwise-neutral: all level-0 work is per-node (id-order-free), and
-    # split RANKING happens in the next level's remap prologue, after the
-    # inverse map below restores patch-id order.
+    # ---- level 0: node id == patch id ----
+    # (Round 3 relabeled level-0 ids sector-major here so kernel tiles saw
+    # contiguous id bands for the banded compact sweeps; the banded path
+    # measured 2x slower on real v5e twice and was deleted in round 4, so
+    # the relabel and its inverse maps went with it — see ARCHITECTURE.md.)
     sp0 = sp_width(num_p + 1)
-    S, R = cfg.num_sectors, cfg.num_rings
-    patch_i = pa.patch.astype(jnp.int32)
-    seg0 = jnp.where(pa.in_patch,
-                     ((patch_i % S) * R + patch_i // S).astype(_F32),
-                     _F32(num_p))
-    pid = np.arange(num_p)
-    sig = np.concatenate([(pid % S) * R + pid // S, [num_p]])
-    inv = np.empty_like(sig)
-    inv[sig] = np.arange(num_p + 1)
+    seg0 = jnp.where(pa.in_patch, pa.patch.astype(_F32), _F32(num_p))
     done0 = ~pa.in_patch
     ground0 = jnp.zeros((n,), bool)
 
     def _row0(v):
-        return jnp.pad(v[jnp.asarray(inv)], (0, sp0 - (num_p + 1)))[None, :]
+        return jnp.pad(v, (0, sp0 - (num_p + 1)))[None, :]
 
     state, stats = run_level(
         pack(seg0, ground0, done0, num_p),
@@ -301,17 +290,11 @@ def _fused_levels(cfg, xyz, pa, tau_patch, zth_patch):
     # ---- deeper levels: compact child-slot space, trash = cap_a ----
     spd = sp_width(cap_a + 1)
     trash_d = float(cap_a)
-    # inverse sector-major relabel + renumber level-0 trash (num_p) into
-    # the deep trash slot
-    seg_i = state[3, :n].astype(jnp.int32)
-    seg_inv = ((seg_i % R) * S + seg_i // R).astype(_F32)
-    seg = jnp.where(state[3, :n] >= num_p, trash_d, seg_inv)
-    sig_full = jnp.asarray(
-        np.concatenate([sig, np.arange(num_p + 1, sp0)]))
-    stats_o = stats[:, sig_full]   # orig[p] = permuted[sigma(p)]
-    split_row = jnp.pad(stats_o[0:1], ((0, 0), (0, spd - sp0)))
-    tau_row = jnp.pad(stats_o[5:6], ((0, 0), (0, spd - sp0)))
-    zth_row = jnp.pad(stats_o[6:7], ((0, 0), (0, spd - sp0)))
+    # renumber level-0 trash (num_p) into the deep trash slot
+    seg = jnp.where(state[3, :n] >= num_p, trash_d, state[3, :n])
+    split_row = jnp.pad(stats[0:1], ((0, 0), (0, spd - sp0)))
+    tau_row = jnp.pad(stats[5:6], ((0, 0), (0, spd - sp0)))
+    zth_row = jnp.pad(stats[6:7], ((0, 0), (0, spd - sp0)))
 
     def _cond(carry):
         lvl, _, _, _, split, _, _ = carry

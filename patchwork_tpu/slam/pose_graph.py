@@ -24,6 +24,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .ba import _batched_inv
 from .se3 import se3_compose, se3_exp, se3_inverse, se3_log
 
 __all__ = ["PoseGraph", "edge_residuals", "optimize_pose_graph",
@@ -124,11 +125,14 @@ def _pcg_solve(g, blocks, b, damping, anchor_weight, cg_iters, cg_tol):
         y = jnp.zeros((k, 6), _F32).at[ei].add(yi).at[ej].add(yj)
         return y + _F32(damping) * v + anchor * v
 
-    # block-Jacobi preconditioner: exact 6x6 diagonal blocks of H
+    # block-Jacobi preconditioner: exact 6x6 diagonal blocks of H.
+    # _batched_inv (closed-form block-Schur, ba.py) instead of
+    # jnp.linalg.inv: the batched LU lowers to dynamic control flow on
+    # XLA:TPU and cost ~7 s of compile in the BA solver (ba_bench A/B).
     diag = jnp.zeros((k, 6, 6), _F32).at[g.edge_i].add(H_ii).at[g.edge_j].add(H_jj)
     diag = diag + _F32(damping) * jnp.eye(6, dtype=_F32)[None]
     diag = diag.at[0].add(_F32(anchor_weight) * jnp.eye(6, dtype=_F32))
-    m_inv = jnp.linalg.inv(diag)
+    m_inv = _batched_inv(diag)
 
     def prec(r):
         return jnp.einsum("kij,kj->ki", m_inv, r, precision="highest")

@@ -179,17 +179,13 @@ class TestEngineFusedParity:
                             impl="fused").ground
         np.testing.assert_array_equal(np.asarray(g_s), np.asarray(g_f))
 
-    def test_banded_sweeps_bitwise(self, monkeypatch):
-        # Small tiles on an azimuth-ordered scan activate the banded
-        # compact one-hot path (kernels/fit_pallas.py band_E: most tiles
-        # span <= 2 sectors of sector-major ids); masks must stay bitwise
-        # equal to the scatter golden path in both covariance modes.
+    def test_small_tile_bitwise(self, monkeypatch):
+        # Small kernel tiles change the dirty-tile cache granularity and
+        # the per-tile accumulation split; masks must stay bitwise equal
+        # to the scatter golden path in both covariance modes.
         from patchwork_tpu.kernels import fit_pallas
 
         monkeypatch.setattr(fit_pallas, "_TILE_OVERRIDE", 1024)
-        # banded defaults OFF (2x slower on real v5e) but the path stays
-        # covered: force it on for this bitwise parity check
-        monkeypatch.setattr(fit_pallas, "_ENABLE_BANDED", True)
         n = 16384
         pts = velodyne_like_cloud(n, seed=3)
         xyz, valid = jnp.asarray(pts), jnp.ones(n, bool)

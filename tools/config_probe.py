@@ -1,19 +1,15 @@
 #!/usr/bin/env python
-"""Measure one engine configuration's scans/s — the banded-sweep decision
-tool (VERDICT r3 weak #5 / next-round #7).
+"""Measure one engine configuration's scans/s (slope-timed, one JSON
+line) — the config-regime probe used for kernel go/no-go decisions.
 
-The banded compact sweeps (kernels/fit_pallas.py band_E) cut MXU flops
-4x on paper but measured 2x SLOWER than the dense cached one-hot at the
-default num_sectors=10 on real v5e (CLAUDE.md cautionary tale).  The
-hypothesized winning regimes are (a) many sectors (Sp >> 128 lanes, where
-the dense one-hot width hurts) and (b) B=1 latency mode.  PATCHWORK_TPU_
-BANDED is read at import, so each arm runs as its own process:
-
-  for s in 10 64; do for b in 0 1; do
-    PATCHWORK_TPU_BANDED=$b python tools/banded_probe.py --sectors $s
-  done; done
-
-Prints one JSON line (slope-timed scans/s) per invocation.
+History: this tool settled the banded-compact-sweep question (VERDICT r3
+item 7).  Probes on real v5e (2026-08-20): banded 531 vs dense 1068
+scans/s at the default config (reproducing the r3 529-vs-1059 loss); the
+hypothesized winning regimes could not even run it — num_sectors=64
+blows the megakernel VMEM budget before banding matters, and the B=1
+banded arm never finished compiling inside 20 minutes.  The banded path
+was DELETED in round 4 (see ARCHITECTURE.md); the probe remains for
+future regime A/Bs (tile sizes, sector counts, batch shapes).
 """
 
 import argparse
@@ -67,10 +63,9 @@ def main():
     rate = args.reps * b / max(t_at[2 * args.reps] - t_at[args.reps], 1e-9)
 
     print(json.dumps({
-        "metric": "banded_probe_scans_per_s",
+        "metric": "config_probe_scans_per_s",
         "value": round(rate, 3),
         "unit": "scans/s",
-        "banded": os.environ.get("PATCHWORK_TPU_BANDED") == "1",
         "sectors": args.sectors, "batch": b, "points": n,
         "cloud": args.cloud, "fast": args.fast,
         "platform": jax.devices()[0].platform,

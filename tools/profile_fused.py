@@ -135,8 +135,7 @@ def main():
     num_p = cfg_fast.num_patches
 
     def prepack_one(x, v, cfg):
-        # mirrors segment/engine._fused_levels incl. the sector-major
-        # level-0 relabeling (banded sweeps need contiguous tile bands)
+        # mirrors segment/engine._fused_levels (level-0 node id == patch id)
         pa = assign_patches(x, v, cfg, impl="onehot")
         x = jnp.where(pa.finite[:, None], x, 0.0)
         if cfg.fast_covariance:
@@ -157,10 +156,7 @@ def main():
         npad = (-n) % 128
         idx_row = jnp.arange(n + npad, dtype=_F32)[None, :]
         xyz_t = jnp.pad(x.T, ((0, 0), (0, npad)))
-        S, R = cfg.num_sectors, cfg.num_rings
-        pi = pa.patch.astype(jnp.int32)
-        seg0 = jnp.where(pa.in_patch,
-                         ((pi % S) * R + pi // S).astype(_F32), _F32(num_p))
+        seg0 = jnp.where(pa.in_patch, pa.patch.astype(_F32), _F32(num_p))
         rows = jnp.stack([
             jnp.pad(seg0, (0, npad), constant_values=float(num_p)),
             jnp.pad(jnp.zeros((n,), _F32), (0, npad)),
@@ -184,15 +180,8 @@ def main():
     sp0 = sp_width(num_p + 1)
 
     def tables_one(tau_patch, zth_patch, cfg):
-        S, R = cfg.num_sectors, cfg.num_rings
-        pid = np.arange(num_p)
-        sig = np.concatenate([(pid % S) * R + pid // S, [num_p]])
-        inv = np.empty_like(sig)
-        inv[sig] = np.arange(num_p + 1)
-
         def _row0(vv):
-            return jnp.pad(vv[jnp.asarray(inv)],
-                           (0, sp0 - (num_p + 1)))[None, :]
+            return jnp.pad(vv, (0, sp0 - (num_p + 1)))[None, :]
         real = jnp.pad((jnp.arange(num_p + 1) < num_p).astype(_F32),
                        (0, sp0 - (num_p + 1)))[None, :]
         thresh = _F32(cfg.th_dist)
