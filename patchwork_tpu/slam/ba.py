@@ -149,6 +149,13 @@ def _schur_solve(A, B, C, ba, bx, k, l, damping, anchor_weight):
     return dp, dx
 
 
+# direct (n, O) one-hot indicator budget; beyond it the 'onehot' segment
+# sums scan over fixed observation chunks (tests/benches force chunking
+# by lowering this via env or monkeypatch)
+_ONEHOT_DIRECT_BYTES = int(
+    os.environ.get("PATCHWORK_TPU_BA_ONEHOT_DIRECT", 400_000_000))
+
+
 def _inv3x3(m: jax.Array) -> jax.Array:
     """Batched closed-form 3x3 inverse (adjugate / det).
 
@@ -221,20 +228,20 @@ def _make_seg_sums(idx: jax.Array, n: int, impl: str | None = None):
       matmul accumulation matches a per-segment tree reduce.
     * 'scatter': plain '.at[].add' (XLA scatter-add) — the golden path.
 
-    Default (backend-dependent, both arms measured at 1000 kf / 40k obs
-    with tools/ba_bench.py, 2026-08-20): TPU -> 'onehot' while the (n, O)
-    indicator stays under ~400 MB, else 'sort' (v5e solve 0.19 s onehot
-    vs 0.285 sort vs 0.391 scatter; cold compile 6.7 s vs 200+ s for the
-    sort path's argsort/cumsum/searchsorted machinery under jacfwd);
-    CPU -> 'sort' (1.63 s vs 9.95 s — a dense (n, O) matmul is exactly
-    what a CPU is bad at and a systolic MXU is built for).
+    Default (backend-dependent, measured with tools/ba_bench.py,
+    2026-08-20): TPU -> 'onehot' — direct (n, O) indicator under the
+    ~400 MB budget (v5e @ 1000 kf / 40k obs: solve 0.19 s vs 0.285 sort
+    vs 0.391 scatter; cold compile 6.7 s), chunked scan-of-matmuls above
+    it (the sort path's argsort/searchsorted machinery alone costs 200+ s
+    of XLA:TPU compile at O=206k, and the forced direct indicator OOM'd
+    there); CPU -> 'sort' (1.63 s vs 9.95 s — a dense (n, O) matmul is
+    exactly what a CPU is bad at and a systolic MXU is built for).
     """
     if impl is None:
         impl = os.environ.get("PATCHWORK_TPU_BA_SEG")
     if impl is None:
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        o = int(idx.shape[0])
-        impl = "onehot" if on_tpu and n * o * 4 <= 400_000_000 else "sort"
+        impl = "onehot" if on_tpu else "sort"
 
     if impl == "scatter":
         def seg_sum(vals):  # (O, ...) -> (n, ...)
@@ -243,12 +250,45 @@ def _make_seg_sums(idx: jax.Array, n: int, impl: str | None = None):
         return seg_sum
 
     if impl == "onehot":
-        oh = (idx[None, :] == jnp.arange(n, dtype=idx.dtype)[:, None])
-        oh = oh.astype(_F32)  # (n, O), built once at trace time
+        o = int(idx.shape[0])
+        seg_ids = jnp.arange(n, dtype=idx.dtype)
+        if n * o * 4 <= _ONEHOT_DIRECT_BYTES:
+            oh = (idx[None, :] == seg_ids[:, None]).astype(_F32)
+            # (n, O), built once at trace time (loop-invariant: XLA hoists
+            # it out of the CG while_loop and the GN scan)
+
+            def seg_sum(vals):  # (O, ...) -> (n, ...)
+                flat = vals.reshape(vals.shape[0], -1)
+                out = jnp.matmul(oh, flat, precision="highest")
+                return out.reshape((n,) + vals.shape[1:])
+
+            return seg_sum
+
+        # Large O: the full (n, O) indicator would not fit (the forced
+        # 824 MB build at O=206k OOM'd on v5e) — scan over fixed-size
+        # observation chunks, building each chunk's (n, CH) one-hot
+        # inside the scan body.  Compile stays small (one chunk's jaxpr),
+        # memory is O(n * CH), and each chunk is still an MXU matmul.
+        ch = 16384
+        pad = (-o) % ch
+        idx_p = jnp.concatenate(
+            [idx, jnp.full((pad,), n, idx.dtype)]) if pad else idx
+        idx_c = idx_p.reshape(-1, ch)
 
         def seg_sum(vals):  # (O, ...) -> (n, ...)
-            flat = vals.reshape(vals.shape[0], -1)
-            out = jnp.matmul(oh, flat, precision="highest")
+            flat = vals.reshape(o, -1)
+            if pad:
+                flat = jnp.concatenate(
+                    [flat, jnp.zeros((pad, flat.shape[1]), flat.dtype)])
+            v_c = flat.reshape(-1, ch, flat.shape[1])
+
+            def body(acc, xs):
+                ic, vc = xs
+                oh = (ic[None, :] == seg_ids[:, None]).astype(_F32)
+                return acc + jnp.matmul(oh, vc, precision="highest"), None
+
+            acc0 = jnp.zeros((n, flat.shape[1]), _F32)
+            out, _ = jax.lax.scan(body, acc0, (idx_c, v_c))
             return out.reshape((n,) + vals.shape[1:])
 
         return seg_sum

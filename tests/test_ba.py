@@ -152,6 +152,21 @@ class TestBA:
         np.testing.assert_allclose(outs["sort"], outs["scatter"],
                                    rtol=1e-4, atol=1e-3)
 
+    def test_onehot_chunked_matches_direct(self, monkeypatch):
+        """Above the direct-indicator budget, 'onehot' scans over fixed
+        observation chunks (the large-O path that replaced sort's 200 s
+        XLA:TPU compile); the chunked sum must match the direct matmul."""
+        from patchwork_tpu.slam import ba as ba_mod
+
+        rng = np.random.default_rng(7)
+        n, o = 23, 40000  # > 16384: several chunks + a ragged tail
+        idx = jnp.asarray(rng.integers(0, n, o).astype(np.int32))
+        vals = jnp.asarray(rng.normal(0, 1, (o, 3)).astype(np.float32))
+        direct = np.asarray(ba_mod._make_seg_sums(idx, n, impl="onehot")(vals))
+        monkeypatch.setattr(ba_mod, "_ONEHOT_DIRECT_BYTES", 0)
+        chunked = np.asarray(ba_mod._make_seg_sums(idx, n, impl="onehot")(vals))
+        np.testing.assert_allclose(chunked, direct, rtol=1e-5, atol=1e-3)
+
     def test_analytic_jacobians_match_jacfwd(self, monkeypatch):
         """The closed-form right-perturbation Jacobians (slam/ba.py
         _obs_blocks 'analytic') must match forward-mode AD through the
