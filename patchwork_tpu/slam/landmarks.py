@@ -51,6 +51,61 @@ def extract_observations(
     return cents[cents[:, 2] > min_height]
 
 
+# device-side extraction: exact voxel keys need bounded coordinates
+# (|coord| < _DEV_EXTRACT_RANGE); out-of-range points fall back unclustered
+_DEV_EXTRACT_RANGE = 200.0
+
+
+def make_extract_observations_batched(voxel: float = 1.5,
+                                      min_height: float = 0.3,
+                                      max_obs: int = 512):
+    """jit-compiled batched voxel-centroid extraction, device-side.
+
+    fn(obst (K, C, 3) f32, valid (K, C) bool) -> (cents (K, max_obs, 3),
+    counts (K,)).  Same clustering rule as :func:`extract_observations`
+    (exact integer voxel keys, per-voxel mean, centroid z > min_height)
+    but computed on device for a whole keyframe stack at once — the BA
+    pipeline then fetches ~max_obs centroids per keyframe instead of the
+    full obstacle stack (24 MB -> ~3 MB at 1000 kf; the stacked fetch
+    measured 6-8 s of the TPU BA stage).  Centroids can differ from the
+    host path by f32 summation order only.
+    """
+    import jax
+
+    q = int(2 * _DEV_EXTRACT_RANGE / voxel) + 3  # cells per axis + margin
+
+    @jax.jit
+    def fn(obst, valid):
+        def one(pts, v):
+            c = jnp.floor(pts / jnp.float32(voxel)).astype(jnp.int32)
+            c = jnp.clip(c + q // 2, 0, q - 1)
+            key = (c[:, 0] * q + c[:, 1]) * q + c[:, 2]
+            key = jnp.where(v, key, jnp.int32(q * q * q))  # invalid last
+            order = jnp.argsort(key)
+            ks = key[order]
+            ps = pts[order]
+            vs = v[order]
+            first = jnp.concatenate(
+                [jnp.ones((1,), bool), ks[1:] != ks[:-1]]) & vs
+            seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+            seg = jnp.where(vs, seg, pts.shape[0] - 1)
+            nseg = jnp.sum(first)
+            w = vs.astype(jnp.float32)[:, None]
+            sums = jnp.zeros((pts.shape[0], 3), jnp.float32).at[seg].add(ps * w)
+            cnts = jnp.zeros((pts.shape[0],), jnp.float32).at[seg].add(w[:, 0])
+            cents = sums / jnp.maximum(cnts, 1.0)[:, None]
+            keep = (jnp.arange(pts.shape[0]) < nseg) & (cents[:, 2]
+                                                        > jnp.float32(min_height))
+            idx = jnp.nonzero(keep, size=max_obs, fill_value=0)[0]
+            raw = jnp.sum(keep)
+            cnt = jnp.minimum(raw, max_obs)
+            return cents[idx], cnt, raw
+
+        return jax.vmap(one)(obst, valid)
+
+    return fn
+
+
 class _LandmarkGrid:
     """Voxel-hash nearest-neighbor index over running landmark estimates.
 
@@ -376,19 +431,36 @@ def refine_with_ba(odo, iters: int = 6, voxel: float = 1.5,
     """
     import time as _time
 
+    import jax as _jax
     import jax.numpy as _jnp
 
     t0 = _time.perf_counter()
-    # ONE stacked device->host transfer for all keyframes: per-frame
-    # np.asarray fetches cost a tunnel round trip EACH — measured 51 s of
-    # the 78 s 1000-kf TPU BA stage before this batching (2026-08-20,
-    # /tmp slam1000_v2 attribution; the whole stack is ~24 MB).
-    obst = np.asarray(_jnp.stack([f["obst"] for f in odo._frames]))
-    obst_valid = np.asarray(_jnp.stack([f["obst_valid"] for f in odo._frames]))
-    keyframe_obs = [
-        extract_observations(obst[i][obst_valid[i]], voxel=voxel)
-        for i in range(len(odo._frames))
-    ]
+    if _jax.default_backend() in ("tpu", "axon"):
+        # device-side batched voxel clustering: fetch only the centroids
+        # (~max_obs per keyframe, ~3 MB at 1000 kf) instead of the full
+        # obstacle stack (24 MB; the stacked fetch measured 6-8 s of the
+        # TPU BA stage over the tunnel, and per-frame fetches before it
+        # measured 51 s — slam1000_v2/v4 attributions, 2026-08-20).
+        fn = make_extract_observations_batched(voxel=voxel)
+        cents, counts, raw = fn(
+            _jnp.stack([f["obst"] for f in odo._frames]),
+            _jnp.stack([f["obst_valid"] for f in odo._frames]))
+        cents = np.asarray(cents)
+        counts = np.asarray(counts)
+        dropped = int(np.maximum(np.asarray(raw) - counts, 0).sum())
+        if timings is not None and dropped:
+            # no silent caps: record clusters beyond the max_obs fetch cap
+            timings["extract_dropped_clusters"] = dropped
+        keyframe_obs = [cents[i, : counts[i]] for i in range(len(counts))]
+    else:
+        # host path: ONE stacked device->host transfer for all keyframes
+        obst = np.asarray(_jnp.stack([f["obst"] for f in odo._frames]))
+        obst_valid = np.asarray(
+            _jnp.stack([f["obst_valid"] for f in odo._frames]))
+        keyframe_obs = [
+            extract_observations(obst[i][obst_valid[i]], voxel=voxel)
+            for i in range(len(odo._frames))
+        ]
     t1 = _time.perf_counter()
     prob, n_obs = build_ba_problem(
         np.stack(odo.poses), keyframe_obs, gate=gate,

@@ -89,13 +89,17 @@ class LidarOdometry:
         self._match = match
         self._match_pairs = jax.jit(jax.vmap(match))
 
-    def _pad(self, pts: np.ndarray):
+    def _pad_host(self, pts: np.ndarray):
         cap = self.cfg.capacity
         n = min(len(pts), cap)
         xyz = np.zeros((cap, 3), np.float32)
         xyz[:n] = np.asarray(pts, np.float32)[:n, :3]
         valid = np.zeros(cap, bool)
         valid[:n] = True
+        return xyz, valid
+
+    def _pad(self, pts: np.ndarray):
+        xyz, valid = self._pad_host(pts)
         return jnp.asarray(xyz), jnp.asarray(valid)
 
     def add_scan(self, pts: np.ndarray, seed: int = 0) -> np.ndarray:
@@ -148,9 +152,15 @@ class LidarOdometry:
         o = None
         for s0 in range(0, len(scans), batch):
             chunk = scans[s0 : s0 + batch]
-            padded = [self._pad(p) for p in chunk]
-            xyz_b = jnp.stack([x for x, _ in padded])
-            val_b = jnp.stack([v for _, v in padded])
+            # pad + stack on HOST, upload each chunk as ONE transfer: the
+            # tunnel is latency-bound on small transfers, and 2B uploads
+            # per chunk (per-scan xyz + valid then a device-side stack)
+            # measured ~2.4 s/chunk vs ~0.12 s for the stacked upload
+            # (extract_probe 2026-08-21; 1000-kf extraction 250-320 s ->
+            # expected ~15 s).
+            padded = [self._pad_host(p) for p in chunk]
+            xyz_b = jnp.asarray(np.stack([x for x, _ in padded]))
+            val_b = jnp.asarray(np.stack([v for _, v in padded]))
             keys = jax.vmap(jax.random.key)(
                 jnp.asarray(seeds[s0 : s0 + len(chunk)], jnp.uint32))
             o, ov, g, gv = self._extract_batched(xyz_b, val_b, keys)

@@ -248,6 +248,38 @@ class TestBA:
 
 
 class TestLandmarkBA:
+    def test_device_extraction_matches_host(self):
+        """make_extract_observations_batched (device voxel clustering,
+        the TPU BA fetch-reduction path) must produce the same centroid
+        SET as the host voxel_downsample_host walk — same exact integer
+        voxel keys, per-voxel means equal to f32 summation order."""
+        from patchwork_tpu.slam.landmarks import (
+            extract_observations, make_extract_observations_batched)
+
+        rng = np.random.default_rng(4)
+        k, c, pillars = 6, 2048, 60
+        # pillar-clustered obstacle points (what segmentation emits);
+        # cluster count stays far under the max_obs fetch cap
+        centers = rng.uniform(-60, 60, (pillars, 2)).astype(np.float32)
+        which = rng.integers(0, pillars, (k, c))
+        pts = np.zeros((k, c, 3), np.float32)
+        pts[:, :, :2] = centers[which] + rng.normal(0, 0.3, (k, c, 2))
+        pts[:, :, 2] = rng.uniform(0.0, 3.0, (k, c))
+        valid = rng.random((k, c)) < 0.8
+        pts[~valid] = 0.0
+
+        fn = make_extract_observations_batched()
+        cents, counts, _raw = fn(jnp.asarray(pts), jnp.asarray(valid))
+        cents, counts = np.asarray(cents), np.asarray(counts)
+        for i in range(k):
+            host = extract_observations(pts[i][valid[i]])
+            dev = cents[i, : counts[i]]
+            assert len(dev) == len(host), (len(dev), len(host))
+            # match as sets (orderings differ): sort both lexicographically
+            ho = host[np.lexsort(host.T)]
+            de = dev[np.lexsort(dev.T)]
+            np.testing.assert_allclose(de, ho, rtol=1e-5, atol=1e-4)
+
     def make_odo(self, frames=5, seed=8):
         from patchwork_tpu.core.config import PatchworkConfig
         from patchwork_tpu.io.synthetic import simulate_sequence, simulate_world
