@@ -123,6 +123,24 @@ def _worker(args) -> int:
         jnp.asarray(xyz), jnp.asarray(valid)).ground)
     result["gspmd_sp_bit_errors"] = _shard_parity(g2.ground, ref2)
 
+    # --- (b2) weak-scaling throughput of the dp-sharded fused engine ---
+    # Each process times the SAME per-device workload (batch grows with
+    # the process count), so perfect weak scaling = flat wall time.  On
+    # the CPU backend this validates the MECHANISM (the SPMD program
+    # really distributes across processes); real efficiency targets need
+    # pod hardware (BASELINE >= 80% at 2 hosts).
+    if args.bench_reps:
+        r = args.bench_reps
+        t_at = {}
+        for k in (r, 2 * r):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                res_b = fn(gxyz, gval)
+            jax.block_until_ready(res_b.ground)
+            t_at[k] = time.perf_counter() - t0
+        step_s = max(t_at[2 * r] - t_at[r], 1e-9) / r
+        result["fused_dp_scans_per_s"] = round(b / step_s, 3)
+
     # --- (c) distributed Schur-PCG BA: psum every CG matvec ------------
     from patchwork_tpu.slam import BAProblem, bundle_adjust, bundle_adjust_sharded
     from patchwork_tpu.slam.se3 import se3_exp
@@ -198,7 +216,8 @@ def _launch(args) -> int:
             [sys.executable, os.path.abspath(__file__),
              "--worker", str(i), "--procs", str(args.procs),
              "--port", str(port), "--points", str(args.points),
-             "--batch", str(args.batch)],
+             "--batch", str(args.batch),
+             "--bench-reps", str(args.bench_reps)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, env=env, cwd=REPO)
         for i in range(args.procs)
@@ -233,6 +252,8 @@ def _launch(args) -> int:
         "points": args.points,
         "wall_s": round(wall, 2),
         "all_ok": all(r["ok"] for r in results),
+        "fused_dp_scans_per_s": (
+            results[0].get("fused_dp_scans_per_s") if args.bench_reps else None),
         "workers": results,
     }
     print(json.dumps({
@@ -254,6 +275,9 @@ def main():
     ap.add_argument("--procs", type=int, default=2)
     ap.add_argument("--points", type=int, default=2048)
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--bench-reps", type=int, default=0,
+                    help="time the dp-sharded fused engine (weak-scaling "
+                         "mechanism check): slope-timed reps per worker")
     ap.add_argument("--timeout", type=float, default=900.0)
     ap.add_argument("--json-out", default=None)
     ap.add_argument("--worker", type=int, default=None,
