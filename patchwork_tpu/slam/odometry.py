@@ -215,9 +215,12 @@ class LidarOdometry:
                 inits[at],
             )
             keep = min(pair_chunk, m - s0)
-            Ts.append(np.asarray(res.transform)[:keep])
-            rmses.append(np.asarray(res.rmse)[:keep])
-        return np.concatenate(Ts), np.concatenate(rmses)
+            # keep results ON DEVICE; one concatenated fetch below — a
+            # per-chunk np.asarray costs a tunnel round trip each
+            Ts.append(res.transform[:keep])
+            rmses.append(res.rmse[:keep])
+        return (np.asarray(jnp.concatenate(Ts)),
+                np.asarray(jnp.concatenate(rmses)))
 
     def _ingest_parallel(self, stacked: dict, pair_chunk: int) -> None:
         """Parallel ICP chain: full pass from identity, selective retry."""
