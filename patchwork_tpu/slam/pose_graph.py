@@ -50,25 +50,53 @@ def edge_residuals(poses: jax.Array, g: PoseGraph) -> jax.Array:
 
 
 def _edge_jacobians(poses: jax.Array, g: PoseGraph):
-    """Per-edge residual + 6x6 Jacobian blocks wrt xi_i, xi_j (autodiff)."""
+    """Per-edge residual + 6x6 Jacobian blocks wrt xi_i, xi_j.
 
-    def res_one(Ti, Tj, Tm, xi_i, xi_j):
-        return se3_log(
-            se3_compose(se3_compose(
-                se3_inverse(Tm),
-                se3_inverse(se3_compose(Ti, se3_exp(xi_i)))),
-                se3_compose(Tj, se3_exp(xi_j)))
-        )
+    Impls (PATCHWORK_TPU_PG_JAC): 'analytic' (default) — with
+    E = Tm^-1 Ti^-1 Tj and r = log(E), right perturbations give
+    Jj = Jr^-1(r) and Ji = -Jr^-1(r) Ad(Tj^-1 Ti) (Barfoot §7.1.5;
+    se3.se3_right_jacobian_inv carries the exact Q coupling block) —
+    straight-line code instead of forward-mode AD through the
+    log/compose/exp chain, whose jaxpr was the compile hog measured in
+    the BA solver (ba_bench: jacfwd ~60 s of XLA:TPU compile);
+    'jacfwd' keeps the AD path as the differential oracle
+    (tests/test_slam.py asserts both agree to f32 rounding).
+    """
+    import os
 
-    zeros = jnp.zeros((6,), _F32)
+    from .se3 import se3_adjoint, se3_right_jacobian_inv
 
-    def one(Ti, Tj, Tm):
-        r = res_one(Ti, Tj, Tm, zeros, zeros)
-        Ji = jax.jacfwd(lambda xi: res_one(Ti, Tj, Tm, xi, zeros))(zeros)
-        Jj = jax.jacfwd(lambda xi: res_one(Ti, Tj, Tm, zeros, xi))(zeros)
-        return r, Ji, Jj
+    Ti = poses[g.edge_i]
+    Tj = poses[g.edge_j]
+    Tm = g.edge_T
 
-    return jax.vmap(one)(poses[g.edge_i], poses[g.edge_j], g.edge_T)
+    if os.environ.get("PATCHWORK_TPU_PG_JAC", "analytic") == "jacfwd":
+        def res_one(Ti, Tj, Tm, xi_i, xi_j):
+            return se3_log(
+                se3_compose(se3_compose(
+                    se3_inverse(Tm),
+                    se3_inverse(se3_compose(Ti, se3_exp(xi_i)))),
+                    se3_compose(Tj, se3_exp(xi_j)))
+            )
+
+        zeros = jnp.zeros((6,), _F32)
+
+        def one(Ti, Tj, Tm):
+            r = res_one(Ti, Tj, Tm, zeros, zeros)
+            Ji = jax.jacfwd(lambda xi: res_one(Ti, Tj, Tm, xi, zeros))(zeros)
+            Jj = jax.jacfwd(lambda xi: res_one(Ti, Tj, Tm, zeros, xi))(zeros)
+            return r, Ji, Jj
+
+        return jax.vmap(one)(Ti, Tj, Tm)
+
+    E = se3_compose(se3_compose(se3_inverse(Tm), se3_inverse(Ti)), Tj)
+    r = se3_log(E)
+    Jr_inv = se3_right_jacobian_inv(r)
+    Jj = Jr_inv
+    Ji = -jnp.matmul(
+        Jr_inv, se3_adjoint(se3_compose(se3_inverse(Tj), Ti)),
+        precision="highest")
+    return r, Ji, Jj
 
 
 def _edge_normal_blocks(poses, g: PoseGraph):

@@ -143,3 +143,81 @@ def se3_apply(T: jax.Array, pts: jax.Array) -> jax.Array:
 
 def se3_identity(dtype=jnp.float32) -> jax.Array:
     return jnp.eye(4, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# closed-form Jacobian machinery (Barfoot, "State Estimation for Robotics"
+# §7.1.5 / eq. 7.86): the pose-graph Gauss-Newton needs d log / d xi at the
+# linearization point.  Differentiating through so3_log/se3_log with
+# forward-mode AD costs XLA:TPU-compile-dominating jaxprs (measured in the
+# BA solver: jacfwd ~60 s of compile); these closed forms are straight-line
+# code, validated against jacfwd to f32 rounding (tests/test_slam.py).
+# ---------------------------------------------------------------------------
+
+def se3_adjoint(T: jax.Array) -> jax.Array:
+    """(..., 4, 4) -> (..., 6, 6) adjoint for xi = [rho, phi]:
+    Ad(T) = [[R, hat(t) R], [0, R]]."""
+    R = T[..., :3, :3]
+    tR = jnp.matmul(_hat(T[..., :3, 3]), R, precision="highest")
+    top = jnp.concatenate([R, tR], axis=-1)
+    bot = jnp.concatenate([jnp.zeros_like(R), R], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def so3_left_jacobian_inv(phi: jax.Array) -> jax.Array:
+    """(..., 3) -> (..., 3, 3): J_l^{-1}(phi) = I - hat/2 + e hat^2,
+    e = 1/t^2 - (1 + cos t)/(2 t sin t), Taylor 1/12 + t^2/720 at 0."""
+    t2 = jnp.sum(phi * phi, axis=-1)[..., None, None]
+    safe = t2 > _EPS2
+    t2s = jnp.where(safe, t2, 1.0)
+    t = jnp.sqrt(t2s)
+    e_exact = 1.0 / t2s - (1.0 + jnp.cos(t)) / (2.0 * t * jnp.sin(t))
+    e = jnp.where(safe, e_exact, 1.0 / 12.0 + t2 / 720.0)
+    k = _hat(phi)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), k.shape)
+    return eye - 0.5 * k + e * jnp.matmul(k, k, precision="highest")
+
+
+def _se3_Q(rho: jax.Array, phi: jax.Array) -> jax.Array:
+    """Barfoot's Q(xi) block (eq. 7.86): the rho-phi coupling of the SE(3)
+    left Jacobian J_l(xi) = [[J_l(phi), Q], [0, J_l(phi)]]."""
+    t2 = jnp.sum(phi * phi, axis=-1)[..., None, None]
+    safe = t2 > _EPS2
+    t2s = jnp.where(safe, t2, 1.0)
+    t = jnp.sqrt(t2s)
+    st, ct = jnp.sin(t), jnp.cos(t)
+    c1 = jnp.where(safe, (t - st) / (t2s * t), 1.0 / 6.0 - t2 / 120.0)
+    c2 = jnp.where(safe, (t2s + 2.0 * ct - 2.0) / (2.0 * t2s * t2s),
+                   1.0 / 24.0 - t2 / 720.0)
+    c3 = jnp.where(safe, (2.0 * t - 3.0 * st + t * ct) / (2.0 * t2s * t2s * t),
+                   1.0 / 120.0 - t2 / 2520.0)
+    rx = _hat(rho)
+    px = _hat(phi)
+
+    def mm(a, b):
+        return jnp.matmul(a, b, precision="highest")
+
+    prp = mm(px, mm(rx, px))
+    p2 = mm(px, px)
+    return (0.5 * rx
+            + c1 * (mm(px, rx) + mm(rx, px) + prp)
+            + c2 * (mm(p2, rx) + mm(rx, p2) - 3.0 * prp)
+            + c3 * (mm(prp, px) + mm(px, prp)))
+
+
+def se3_left_jacobian_inv(xi: jax.Array) -> jax.Array:
+    """(..., 6) -> (..., 6, 6): J_l^{-1}(xi) =
+    [[J^{-1}, -J^{-1} Q J^{-1}], [0, J^{-1}]] with J = J_l(phi)."""
+    rho, phi = xi[..., :3], xi[..., 3:]
+    ji = so3_left_jacobian_inv(phi)
+    q = _se3_Q(rho, phi)
+    tr = -jnp.matmul(ji, jnp.matmul(q, ji, precision="highest"),
+                     precision="highest")
+    top = jnp.concatenate([ji, tr], axis=-1)
+    bot = jnp.concatenate([jnp.zeros_like(ji), ji], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def se3_right_jacobian_inv(xi: jax.Array) -> jax.Array:
+    """J_r^{-1}(xi) = J_l^{-1}(-xi): d/d eps log(exp(xi) exp(eps)) at 0."""
+    return se3_left_jacobian_inv(-xi)

@@ -166,6 +166,42 @@ def chain_graph(k=12, drift=0.03, seed=5, closure=True):
 
 
 class TestPoseGraph:
+    def test_analytic_edge_jacobians_match_jacfwd(self, monkeypatch):
+        """The closed-form edge Jacobians (Jr^-1 + adjoint, slam/se3.py
+        right-Jacobian machinery incl. the Q coupling block) must match
+        forward-mode AD through log(Tm^-1 (Ti exp(xi_i))^-1 Tj exp(xi_j))
+        to f32 rounding — including at sizable residuals."""
+        from patchwork_tpu.slam.pose_graph import _edge_jacobians
+
+        # noisy graph -> non-trivial residuals at the linearization point
+        g, _ = chain_graph(k=10, drift=0.15, closure=True)
+        rng = np.random.default_rng(3)
+        poses = np.asarray(g.poses).copy()
+        for i in range(1, len(poses)):
+            xi = rng.normal(0, 0.2, 6).astype(np.float32)
+            poses[i] = poses[i] @ np.asarray(se3_exp(jnp.asarray(xi)))
+        poses = jnp.asarray(poses)
+
+        outs = {}
+        for impl in ("analytic", "jacfwd"):
+            monkeypatch.setenv("PATCHWORK_TPU_PG_JAC", impl)
+            outs[impl] = _edge_jacobians(poses, g)
+        for a, b, name in zip(outs["analytic"], outs["jacfwd"],
+                              ("r", "Ji", "Jj")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-4, err_msg=name)
+
+    def test_optimize_impls_agree(self, monkeypatch):
+        """Full pose-graph optimization must land on the same poses under
+        both Jacobian impls."""
+        g, gt = chain_graph(k=12, drift=0.05, closure=True)
+        outs = {}
+        for impl in ("analytic", "jacfwd"):
+            monkeypatch.setenv("PATCHWORK_TPU_PG_JAC", impl)
+            outs[impl] = np.asarray(optimize_pose_graph(g, iters=8).poses)
+        np.testing.assert_allclose(outs["analytic"], outs["jacfwd"],
+                                   rtol=1e-4, atol=1e-4)
+
     def test_residuals_zero_on_truth(self):
         g, gt = chain_graph(drift=0.0, closure=True)
         r = edge_residuals(jnp.asarray(gt), g)
