@@ -10,13 +10,17 @@ TPU-first design:
   yaw) + point-to-plane against the target's GROUND plane from the
   Patchwork segmentation (constrain z, roll, pitch) — the segmentation
   engine is what makes the odometry "ground-constrained";
-* Gauss-Newton on SE(3) with right perturbation; the 6-dof Jacobian
-  comes from ``jax.jacfwd`` through the residual function (exact, no
-  hand-derived adjoints); fixed iteration count under ``lax.scan``.
+* Gauss-Newton on SE(3) with right perturbation; the 6-dof Jacobian is
+  the closed form R [I | -[s]x] (point-to-point) / [(R^T n)^T, (g x
+  R^T n)^T] (point-to-plane) — ``jax.jacfwd`` through the residual is
+  kept as the differential oracle (PATCHWORK_TPU_ICP_JAC=jacfwd; the AD
+  chain's jaxpr is the XLA:TPU compile-hog class measured in ba_bench);
+  fixed iteration count under ``lax.scan``.
 """
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -28,6 +32,10 @@ from .se3 import se3_apply, se3_compose, se3_exp
 __all__ = ["MatchResult", "nearest_neighbors", "icp_ground_constrained"]
 
 _F32 = jnp.float32
+
+# Gauss-Newton Jacobian impl: 'analytic' closed form (default) or the
+# forward-mode AD oracle; see the branch inside icp_ground_constrained.
+_ANALYTIC_JAC = os.environ.get("PATCHWORK_TPU_ICP_JAC", "analytic") != "jacfwd"
 
 
 class MatchResult(NamedTuple):
@@ -99,21 +107,55 @@ def icp_ground_constrained(
             ground_weight
         )
 
-        def residuals(xi):
-            Txi = se3_compose(T, se3_exp(xi))
-            r_pp = (se3_apply(Txi, src_obst) - q) * w_obst[:, None]  # (N, 3)
-            r_pl = (
-                jnp.einsum("ni,i->n", se3_apply(Txi, src_ground) - g_c, g_n,
-                           precision="highest")
-                * w_ground
-            )  # (G,)
-            return jnp.concatenate([r_pp.ravel(), r_pl])
+        if _ANALYTIC_JAC:
+            # closed-form right-perturbation Jacobians (the jacfwd chain
+            # through se3_exp/compose/apply is the XLA:TPU compile-hog
+            # class measured in ba_bench; jacfwd kept below as the
+            # differential oracle, PATCHWORK_TPU_ICP_JAC=jacfwd):
+            #   d[(T exp(xi)) s]/dxi = R [I | -[s]x]      (s in src frame)
+            #   d[n . (T exp(xi)) g]/dxi = [(R^T n)^T, (g x R^T n)^T]
+            R = T[:3, :3]
+            r_pp = (p - q) * w_obst[:, None]
+            r_pl = (jnp.einsum("ni,i->n", pg - g_c, g_n,
+                               precision="highest") * w_ground)
+            sx = src_obst[:, 0]
+            sy = src_obst[:, 1]
+            sz = src_obst[:, 2]
+            o = jnp.zeros_like(sx)
+            skew_s = jnp.stack([
+                jnp.stack([o, -sz, sy], axis=-1),
+                jnp.stack([sz, o, -sx], axis=-1),
+                jnp.stack([-sy, sx, o], axis=-1),
+            ], axis=-2)                                     # (N, 3, 3)
+            eye = jnp.broadcast_to(jnp.eye(3, dtype=_F32), skew_s.shape)
+            Jpp = jnp.concatenate([eye, -skew_s], axis=-1)  # (N, 3, 6)
+            Jpp = jnp.einsum("ij,njk->nik", R, Jpp,
+                             precision="highest") * w_obst[:, None, None]
+            nR = jnp.einsum("ij,i->j", R, g_n, precision="highest")  # R^T n
+            Jpl = jnp.concatenate([
+                jnp.broadcast_to(nR, src_ground.shape),
+                jnp.cross(src_ground, jnp.broadcast_to(nR, src_ground.shape)),
+            ], axis=-1) * w_ground[:, None]                 # (G, 6)
+            H = (jnp.einsum("nik,nil->kl", Jpp, Jpp, precision="highest")
+                 + jnp.einsum("gk,gl->kl", Jpl, Jpl, precision="highest"))
+            b = (jnp.einsum("nik,ni->k", Jpp, r_pp, precision="highest")
+                 + jnp.einsum("gk,g->k", Jpl, r_pl, precision="highest"))
+        else:
+            def residuals(xi):
+                Txi = se3_compose(T, se3_exp(xi))
+                r_pp = (se3_apply(Txi, src_obst) - q) * w_obst[:, None]
+                r_pl = (
+                    jnp.einsum("ni,i->n", se3_apply(Txi, src_ground) - g_c,
+                               g_n, precision="highest")
+                    * w_ground
+                )  # (G,)
+                return jnp.concatenate([r_pp.ravel(), r_pl])
 
-        xi0 = jnp.zeros((6,), _F32)
-        r0 = residuals(xi0)
-        J = jax.jacfwd(residuals)(xi0)  # (R, 6)
-        H = jnp.einsum("ri,rj->ij", J, J, precision="highest")
-        b = jnp.einsum("ri,r->i", J, r0, precision="highest")
+            xi0 = jnp.zeros((6,), _F32)
+            r0 = residuals(xi0)
+            J = jax.jacfwd(residuals)(xi0)  # (R, 6)
+            H = jnp.einsum("ri,rj->ij", J, J, precision="highest")
+            b = jnp.einsum("ri,r->i", J, r0, precision="highest")
         # Levenberg damping for robustness on poor geometry
         H = H + 1e-4 * jnp.eye(6, dtype=_F32) * jnp.maximum(jnp.trace(H) / 6.0, 1.0)
         delta = -jnp.linalg.solve(H, b)

@@ -126,6 +126,21 @@ class TestICP:
         err = np.asarray(se3_log(res.transform))
         assert np.abs(err).max() < 0.02
 
+    def test_analytic_jacobians_match_jacfwd(self, monkeypatch):
+        """The closed-form GN Jacobians (R [I|-[s]x] point-to-point,
+        [(R^T n), g x R^T n] point-to-plane) must land on the same ICP
+        solution as the forward-mode AD oracle."""
+        from patchwork_tpu.slam import scan_matching
+
+        *args, T_true = make_icp_problem([0.4, -0.3, 0.05, 0.01, 0.0, 0.08])
+        outs = {}
+        for analytic in (True, False):
+            monkeypatch.setattr(scan_matching, "_ANALYTIC_JAC", analytic)
+            outs[analytic] = np.asarray(
+                icp_ground_constrained(*args, iters=12).transform)
+        np.testing.assert_allclose(outs[True], outs[False],
+                                   rtol=1e-4, atol=1e-4)
+
 
 def chain_graph(k=12, drift=0.03, seed=5, closure=True):
     """Ground-truth circle-ish chain + noisy odometry edges + a loop edge."""
