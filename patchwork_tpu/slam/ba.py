@@ -130,7 +130,7 @@ def _partial_normal_eqs(poses, points, prob: BAProblem, k: int, l: int):
 def _schur_solve(A, B, C, ba, bx, k, l, damping, anchor_weight):
     """Eliminate landmarks, solve reduced pose system, back-substitute."""
     C = C + damping * jnp.eye(3, dtype=_F32)[None]
-    C_inv = jnp.linalg.inv(C)  # (L, 3, 3)
+    C_inv = _batched_inv(C)  # (L, 3, 3) closed-form (see _inv3x3)
 
     # S = A_dense - B C^-1 B^T over the pose-pair structure
     BCi = jnp.einsum("kilc,lcd->kild", B, C_inv, precision="highest")
