@@ -280,6 +280,21 @@ class TestLandmarkBA:
             de = dev[np.lexsort(dev.T)]
             np.testing.assert_allclose(de, ho, rtol=1e-5, atol=1e-4)
 
+    def test_device_extraction_empty_frame(self):
+        """All-invalid keyframes must yield count 0 (and refine_with_ba's
+        per-keyframe slices then skip them), not garbage centroids."""
+        from patchwork_tpu.slam.landmarks import (
+            make_extract_observations_batched)
+
+        pts = np.zeros((2, 256, 3), np.float32)
+        pts[1, :, 2] = 2.0  # one frame with real-looking points
+        valid = np.zeros((2, 256), bool)
+        valid[1, :10] = True
+        fn = make_extract_observations_batched()
+        _, counts, raw = fn(jnp.asarray(pts), jnp.asarray(valid))
+        assert int(counts[0]) == 0 and int(raw[0]) == 0
+        assert int(counts[1]) >= 1
+
     def make_odo(self, frames=5, seed=8):
         from patchwork_tpu.core.config import PatchworkConfig
         from patchwork_tpu.io.synthetic import simulate_sequence, simulate_world
