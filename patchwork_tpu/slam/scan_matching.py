@@ -36,6 +36,10 @@ _F32 = jnp.float32
 # Gauss-Newton Jacobian impl: 'analytic' closed form (default) or the
 # forward-mode AD oracle; see the branch inside icp_ground_constrained.
 _ANALYTIC_JAC = os.environ.get("PATCHWORK_TPU_ICP_JAC", "analytic") != "jacfwd"
+# NN correspondence-search matmul precision (see nearest_neighbors)
+_NN_PRECISION = ("default"
+                 if os.environ.get("PATCHWORK_TPU_ICP_NN") == "default"
+                 else "highest")
 
 
 class MatchResult(NamedTuple):
@@ -48,15 +52,29 @@ def nearest_neighbors(src: jax.Array, tgt: jax.Array, tgt_valid: jax.Array):
     """Index + squared distance of each src point's nearest valid tgt point.
 
     One MXU matmul: d2 = |p|^2 + |q|^2 - 2 p.q; invalid targets -> +inf.
+
+    PATCHWORK_TPU_ICP_NN=default opts the cross-term matmul into MXU
+    default (bf16-operand) precision — unlike the SE(3) compose bias the
+    r3 precision finding fixed, a distance error here only swaps
+    near-tied NEIGHBORS, which Gauss-Newton is robust to, and the
+    returned d2 (inlier gating/RMSE) is recomputed exactly from the
+    gathered pair.  OFF by default until an ATE + loop-closure A/B on
+    hardware clears it (CLAUDE.md roadmap; same protocol as r3's se3
+    finding).
     """
     d2 = (
         jnp.sum(src * src, axis=1)[:, None]
         + jnp.sum(tgt * tgt, axis=1)[None, :]
-        - 2.0 * jnp.einsum("nc,mc->nm", src, tgt, precision="highest")
+        - 2.0 * jnp.einsum("nc,mc->nm", src, tgt, precision=_NN_PRECISION)
     )
     d2 = jnp.where(tgt_valid[None, :], d2, jnp.inf)
     idx = jnp.argmin(d2, axis=1)
-    return idx, jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0]
+    if _NN_PRECISION == "highest":
+        return idx, jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0]
+    # exact squared distance of the CHOSEN pair (gating/RMSE stay f32-
+    # exact even when the search matmul ran at bf16 operand precision)
+    diff = src - tgt[idx]
+    return idx, jnp.sum(diff * diff, axis=1)
 
 
 def icp_ground_constrained(

@@ -126,6 +126,19 @@ class TestICP:
         err = np.asarray(se3_log(res.transform))
         assert np.abs(err).max() < 0.02
 
+    def test_nn_precision_knob(self, monkeypatch):
+        """PATCHWORK_TPU_ICP_NN=default (bf16 correspondence search) must
+        still recover the transform — on CPU precisions coincide, so this
+        drives the alternate code path (exact recomputed pair distances)
+        and pins it to the highest-precision result."""
+        from patchwork_tpu.slam import scan_matching
+
+        *args, T_true = make_icp_problem([0.3, -0.2, 0.05, 0.0, 0.0, 0.05])
+        ref = np.asarray(icp_ground_constrained(*args, iters=12).transform)
+        monkeypatch.setattr(scan_matching, "_NN_PRECISION", "default")
+        alt = np.asarray(icp_ground_constrained(*args, iters=12).transform)
+        np.testing.assert_allclose(alt, ref, rtol=1e-4, atol=1e-4)
+
     def test_analytic_jacobians_match_jacfwd(self, monkeypatch):
         """The closed-form GN Jacobians (R [I|-[s]x] point-to-point,
         [(R^T n), g x R^T n] point-to-plane) must land on the same ICP
