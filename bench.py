@@ -24,6 +24,49 @@ import time
 import numpy as np
 
 
+def _floors_recorded():
+    """Median-of-history floors (BENCH_FLOORS.json) for plausibility gates."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_FLOORS.json")
+    try:
+        with open(path) as f:
+            return json.load(f).get("recorded", {})
+    except (OSError, ValueError):
+        return {}
+
+
+_IMPLAUSIBLE_FRACTION = 0.5  # cell < 0.5x its floors median -> re-measure
+
+
+def _measure_guarded(key, degraded, gen, n, b, reps, cfg):
+    """_measure with a mid-run-stall guard (VERDICT r4 item 2).
+
+    The driver's BENCH_r04 demo cell collapsed 32x (95.4 vs ~3074 scans/s)
+    while sibling cells in the same run were normal — a transient tunnel
+    stall that slope timing alone cannot reject, and which then poisoned
+    the BENCH_FLOORS.json history.  Guard: any cell measuring below
+    _IMPLAUSIBLE_FRACTION of its floors median is re-measured once after a
+    tiny probe op; if still implausible it is reported but flagged in
+    ``degraded`` so _refresh_floors never records it.
+    """
+    rate, scans = _measure(gen, n, b, reps, cfg)
+    floor = _floors_recorded().get(key)
+    if floor and rate < _IMPLAUSIBLE_FRACTION * floor:
+        print(f"# {key}: {rate:.1f} scans/s < {_IMPLAUSIBLE_FRACTION}x "
+              f"floor median {floor:.1f} — probing and re-measuring",
+              file=sys.stderr)
+        import jax.numpy as jnp
+        float(jnp.ones((8, 8)).sum())  # drain/re-establish the stream
+        rate2, scans = _measure(gen, n, b, reps, cfg)
+        rate = max(rate, rate2)
+        if rate < _IMPLAUSIBLE_FRACTION * floor:
+            degraded.add(key)
+            print(f"# {key}: still {rate:.1f} after re-measure — marked "
+                  "degraded (excluded from floors)", file=sys.stderr)
+    return rate, scans
+
+
 def _measure(gen, n, b, reps, cfg, seeds=None):
     """Engine scans/s for one (scene, config): batched jit, honest sync."""
     import jax.numpy as jnp
@@ -96,13 +139,18 @@ def main():
     cfg_exact = PatchworkConfig(fast_covariance=False)
     gens = {"demo": demo_point_cloud, "velodyne": velodyne_like_cloud}
 
-    head_rate, head_scans = _measure(gens[args.cloud], n, b, reps, cfg_fast)
+    degraded = set()
+    head_rate, head_scans = _measure_guarded(
+        f"{args.cloud}_fast_scans_per_s", degraded,
+        gens[args.cloud], n, b, reps, cfg_fast)
     extra = {}
     if not args.headline_only:
         other = "demo" if args.cloud == "velodyne" else "velodyne"
-        extra[f"{args.cloud}_exact_scans_per_s"], _ = _measure(
+        extra[f"{args.cloud}_exact_scans_per_s"], _ = _measure_guarded(
+            f"{args.cloud}_exact_scans_per_s", degraded,
             gens[args.cloud], n, b, reps, cfg_exact)
-        extra[f"{other}_fast_scans_per_s"], other_scans = _measure(
+        extra[f"{other}_fast_scans_per_s"], other_scans = _measure_guarded(
+            f"{other}_fast_scans_per_s", degraded,
             gens[other], n, b, reps, cfg_fast)
         # multi-LiDAR end-to-end (BASELINE configs[3]): merged 3-sensor
         # IAC scene through the same engine path
@@ -126,15 +174,18 @@ def main():
             file=sys.stderr,
         )
 
-    print(json.dumps({
+    out = {
         "metric": f"synthetic_{args.cloud}_{n}pt_scans_per_s_per_chip",
         "value": round(head_rate, 3),
         "unit": "scans/s",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
         "extra": {k: round(v, 3) for k, v in extra.items()},
-    }))
+    }
+    if degraded:
+        out["extra"]["degraded_cells"] = sorted(degraded)
+    print(json.dumps(out))
 
-    _refresh_floors(args, head_rate, extra)
+    _refresh_floors(args, head_rate, extra, degraded)
 
 
 _FLOOR_HISTORY = 5  # full runs kept per metric; recorded = median of these
@@ -162,7 +213,7 @@ def _update_floor_doc(doc, fresh):
     return changed
 
 
-def _refresh_floors(args, head_rate, extra):
+def _refresh_floors(args, head_rate, extra, degraded=()):
     """Record this full default-shape TPU run into BENCH_FLOORS.json.
 
     The perf guard (tests/test_perf_regression.py) derives its floors from
@@ -198,6 +249,9 @@ def _refresh_floors(args, head_rate, extra):
         "velodyne_exact_scans_per_s": extra.get("velodyne_exact_scans_per_s"),
         "demo_fast_scans_per_s": extra.get("demo_fast_scans_per_s"),
     }
+    # stall-guarded cells that stayed implausible never enter the history
+    # (the r4 demo_fast=95.392 poisoning — VERDICT r4 item 2)
+    fresh = {k: v for k, v in fresh.items() if k not in set(degraded)}
     if _update_floor_doc(doc, fresh):
         doc["source"] = "bench.py auto-refresh (median of history)"
         with open(path, "w") as f:

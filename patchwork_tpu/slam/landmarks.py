@@ -52,7 +52,11 @@ def extract_observations(
 
 
 # device-side extraction: exact voxel keys need bounded coordinates
-# (|coord| < _DEV_EXTRACT_RANGE); out-of-range points fall back unclustered
+# (|coord| < _DEV_EXTRACT_RANGE); out-of-range points are DROPPED (masked
+# invalid) — a documented divergence from the host path, which clusters
+# them exactly; they cannot occur under the default config (max_range /
+# filtering_radius 150 m < 200 m).  (ADVICE r4: clip used to fold them
+# into boundary voxels, silently merging far points per axis.)
 _DEV_EXTRACT_RANGE = 200.0
 
 
@@ -73,12 +77,18 @@ def make_extract_observations_batched(voxel: float = 1.5,
     import jax
 
     q = int(2 * _DEV_EXTRACT_RANGE / voxel) + 3  # cells per axis + margin
+    if q ** 3 >= 2 ** 31:  # int32 voxel keys (ADVICE r4: voxel < ~0.31 m
+        raise ValueError(   # would silently overflow and merge voxels)
+            f"voxel={voxel} too small: {q}^3 cells overflow int32 keys")
 
     @jax.jit
     def fn(obst, valid):
         def one(pts, v):
             c = jnp.floor(pts / jnp.float32(voxel)).astype(jnp.int32)
-            c = jnp.clip(c + q // 2, 0, q - 1)
+            cc = jnp.clip(c + q // 2, 0, q - 1)
+            in_range = jnp.all(cc == c + q // 2, axis=1)  # not clipped
+            v = v & in_range
+            c = cc
             key = (c[:, 0] * q + c[:, 1]) * q + c[:, 2]
             key = jnp.where(v, key, jnp.int32(q * q * q))  # invalid last
             order = jnp.argsort(key)

@@ -72,9 +72,13 @@ def nearest_neighbors(src: jax.Array, tgt: jax.Array, tgt_valid: jax.Array):
     if _NN_PRECISION == "highest":
         return idx, jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0]
     # exact squared distance of the CHOSEN pair (gating/RMSE stay f32-
-    # exact even when the search matmul ran at bf16 operand precision)
+    # exact even when the search matmul ran at bf16 operand precision).
+    # If every target is invalid, argmin over an all-inf row returns 0 —
+    # keep d2 = inf so the gate rejects the bogus pair (ADVICE r4).
     diff = src - tgt[idx]
-    return idx, jnp.sum(diff * diff, axis=1)
+    d2_exact = jnp.where(tgt_valid[idx], jnp.sum(diff * diff, axis=1),
+                         jnp.inf)
+    return idx, d2_exact
 
 
 def icp_ground_constrained(

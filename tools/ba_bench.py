@@ -139,7 +139,10 @@ def main():
         "k": args.k, "landmarks": args.landmarks,
         "obs": int(prob.obs_k.shape[0]),
         "solver": args.solver,
-        "seg": os.environ.get("PATCHWORK_TPU_BA_SEG", "sort"),
+        # effective impl: resolve exactly like ba._make_seg_sums so the
+        # unset-knob default is labeled correctly per backend (ADVICE r4)
+        "seg": os.environ.get("PATCHWORK_TPU_BA_SEG") or (
+            "onehot" if jax.default_backend() in ("tpu", "axon") else "sort"),
         "jac": os.environ.get("PATCHWORK_TPU_BA_JAC", "analytic"),
         "inv": os.environ.get("PATCHWORK_TPU_BA_INV", "closed"),
         "iters": args.iters,
