@@ -67,3 +67,34 @@ class TestShardMapEngine:
         mesh = make_mesh(8, dp=2, sp=4)
         with pytest.raises(ValueError):
             make_shardmap_patchwork(PatchworkConfig(), mesh)
+
+
+@pytest.mark.slow
+class TestProductionScaleParity:
+    """Bench-shape sharded-vs-single-device bit parity (VERDICT r4 item 6).
+
+    The driver dryrun covers only reduced configs (2048 pts, radius 60,
+    max_levels 3); this runs the fused shard_map engine at the REAL bench
+    shape — 131,072-pt velodyne scans, B=8, default PatchworkConfig — on
+    the virtual 8-device dp mesh and asserts every mask bit matches a
+    single-device fused run.
+    """
+
+    def test_fused_dp_bench_shape(self):
+        from patchwork_tpu.io.synthetic import velodyne_like_cloud
+        from patchwork_tpu.parallel.sharded import make_shardmap_fused
+
+        b, n = 8, 131072
+        xyz = jnp.asarray(np.stack(
+            [velodyne_like_cloud(n, seed=i) for i in range(b)]))
+        valid = jnp.ones((b, n), bool)
+        cfg = PatchworkConfig()  # production default, all levels
+
+        mesh = make_mesh(8, dp=8, sp=1)
+        g_sm = np.asarray(make_shardmap_fused(cfg, mesh)(xyz, valid).ground)
+
+        single = make_filter_ground(cfg, impl="fused")
+        for i in range(b):
+            g_1 = np.asarray(single(xyz[i], valid[i]).ground)
+            mm = int((g_sm[i] != g_1).sum())
+            assert mm == 0, f"scan {i}: {mm}/{n} mask bits differ"
