@@ -91,7 +91,9 @@ def run(num_keyframes: int = 100, seed: int = 3, ba_iters: int = 4,
     accepted = odo.detect_loop_closures(
         radius=3.0 + 0.5 * (laps - 1),
         min_separation=max(10, num_keyframes // laps // 2),
-        min_inliers=100)
+        min_inliers=100,
+        max_candidates=None,        # adaptive ~K/10, spread along the
+        pair_chunk=pair_chunk)      # trajectory, chunk-vmapped verify
     t_loops = time.perf_counter() - t0
 
     t0 = time.perf_counter()
