@@ -395,6 +395,18 @@ def _schur_pcg_step(poses, points, prob: BAProblem, k, l, damping,
 # dense-B block-assembly budget: above this many (pose, landmark) cells the
 # O(K*L) blocks would not fit (or compile) on a single chip -> matrix-free
 _DENSE_KL_LIMIT = 1_000_000
+# dense reduced-solve budget: the direct solve factorizes the (6K, 6K)
+# Schur complement at O((6K)^3) — at K=1000 that is ~2e11 FLOPs of LU per
+# GN iteration regardless of L.  (Found in round 5: better loop closures
+# merged landmarks 1236 -> 414 at 1000 kf, K*L dropped under the KL limit,
+# and the auto-select silently flipped a 8 s PCG solve into a 27 s dense
+# one.)  Auto-select takes dense only when BOTH budgets pass.
+_DENSE_K_LIMIT = 256
+
+
+def _auto_solver(k: int, l: int) -> str:
+    return ("dense" if k * l <= _DENSE_KL_LIMIT and k <= _DENSE_K_LIMIT
+            else "pcg")
 
 
 def bundle_adjust(
@@ -416,7 +428,7 @@ def bundle_adjust(
     k = prob.poses.shape[0]
     l = prob.points.shape[0]
     if solver is None:
-        solver = "dense" if k * l <= _DENSE_KL_LIMIT else "pcg"
+        solver = _auto_solver(k, l)
     if cg_iters is None:
         cg_iters = min(max(128, k), 2048)
 
@@ -462,7 +474,7 @@ def bundle_adjust_sharded(
     k = prob.poses.shape[0]
     l = prob.points.shape[0]
     if solver is None:
-        solver = "dense" if k * l <= _DENSE_KL_LIMIT else "pcg"
+        solver = _auto_solver(k, l)
     if cg_iters is None:
         cg_iters = min(max(128, k), 2048)
 

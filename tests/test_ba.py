@@ -133,6 +133,20 @@ class TestBA:
         assert np.array_equal(np.asarray(out_auto_d.poses),
                               np.asarray(out_dense.poses))
 
+    def test_auto_solver_caps_k(self):
+        """The dense direct solve is O((6K)^3) regardless of L: a K=1000
+        problem must route to PCG even when K*L sits under the dense
+        block budget (round 5: landmark merging flipped a 1000-kf solve
+        dense and tripled the BA stage)."""
+        from patchwork_tpu.slam.ba import (_DENSE_K_LIMIT, _DENSE_KL_LIMIT,
+                                           _auto_solver)
+
+        assert _auto_solver(1000, 414) == "pcg"       # the run-5 shape
+        assert 1000 * 414 <= _DENSE_KL_LIMIT          # ...despite KL ok
+        assert _auto_solver(100, 500) == "dense"
+        assert _auto_solver(_DENSE_K_LIMIT + 1, 10) == "pcg"
+        assert _auto_solver(10, 2_000_000) == "pcg"
+
     def test_seg_sum_impls_agree(self):
         """All three segment-sum impls (sort-cumsum / one-hot matmul /
         scatter-add, slam/ba.py _make_seg_sums) must agree; 'onehot' and
