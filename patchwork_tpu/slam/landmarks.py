@@ -445,6 +445,17 @@ def refine_with_ba(odo, iters: int = 6, voxel: float = 1.5,
     import jax.numpy as _jnp
 
     t0 = _time.perf_counter()
+    # after a parallel ingest the frames already live as (K, ...) stacks
+    # (odometry._StackedFrames) — reuse them directly instead of K
+    # per-frame slice ops + a K-operand stack (ICP_PROFILE_r05)
+    from .odometry import _StackedFrames
+
+    if (isinstance(odo._frames, _StackedFrames) and not odo._frames.extra):
+        obst_dev = odo._frames.stacked["obst"]
+        valid_dev = odo._frames.stacked["obst_valid"]
+    else:
+        obst_dev = _jnp.stack([f["obst"] for f in odo._frames])
+        valid_dev = _jnp.stack([f["obst_valid"] for f in odo._frames])
     if _jax.default_backend() in ("tpu", "axon"):
         # device-side batched voxel clustering: fetch only the centroids
         # (~max_obs per keyframe, ~3 MB at 1000 kf) instead of the full
@@ -452,9 +463,7 @@ def refine_with_ba(odo, iters: int = 6, voxel: float = 1.5,
         # TPU BA stage over the tunnel, and per-frame fetches before it
         # measured 51 s — slam1000_v2/v4 attributions, 2026-08-20).
         fn = make_extract_observations_batched(voxel=voxel)
-        cents, counts, raw = fn(
-            _jnp.stack([f["obst"] for f in odo._frames]),
-            _jnp.stack([f["obst_valid"] for f in odo._frames]))
+        cents, counts, raw = fn(obst_dev, valid_dev)
         cents = np.asarray(cents)
         counts = np.asarray(counts)
         dropped = int(np.maximum(np.asarray(raw) - counts, 0).sum())
@@ -464,9 +473,8 @@ def refine_with_ba(odo, iters: int = 6, voxel: float = 1.5,
         keyframe_obs = [cents[i, : counts[i]] for i in range(len(counts))]
     else:
         # host path: ONE stacked device->host transfer for all keyframes
-        obst = np.asarray(_jnp.stack([f["obst"] for f in odo._frames]))
-        obst_valid = np.asarray(
-            _jnp.stack([f["obst_valid"] for f in odo._frames]))
+        obst = np.asarray(obst_dev)
+        obst_valid = np.asarray(valid_dev)
         keyframe_obs = [
             extract_observations(obst[i][obst_valid[i]], voxel=voxel)
             for i in range(len(odo._frames))

@@ -27,6 +27,41 @@ from .scan_matching import icp_ground_constrained
 
 __all__ = ["OdometryConfig", "LidarOdometry"]
 
+_FRAME_KEYS = ("obst", "obst_valid", "ground", "ground_valid")
+
+
+class _StackedFrames:
+    """Sequence of per-keyframe feature dicts backed by STACKED arrays.
+
+    ICP attribution (tools/icp_bench.py, ICP_PROFILE_r05): the parallel
+    ingest used to materialize K per-frame dicts eagerly — 4 device slice
+    ops per frame, ~4000 dispatches at 1000 kf over a ~15-30 ms-latency
+    tunnel, which dwarfed the 1.2 ms/pair ICP kernel itself.  This keeps
+    the (K, ...) stacks resident and slices a frame dict only on demand;
+    bulk consumers (chunk-vmapped loop-closure verification, the BA
+    landmark extraction) read ``.stacked`` directly with zero per-frame
+    ops.  ``append`` (add_scan after a parallel ingest) goes to an
+    overflow list; the stacked fast paths require ``not extra``.
+    """
+
+    def __init__(self, stacked: dict):
+        self.stacked = stacked
+        self._k = int(stacked["obst"].shape[0])
+        self.extra: List[dict] = []
+
+    def __len__(self):
+        return self._k + len(self.extra)
+
+    def __getitem__(self, i):
+        if i < 0:
+            i += len(self)
+        if i < self._k:
+            return {k: self.stacked[k][i] for k in _FRAME_KEYS}
+        return self.extra[i - self._k]
+
+    def append(self, frame: dict):
+        self.extra.append(frame)
+
 
 @dataclasses.dataclass(frozen=True)
 class OdometryConfig:
@@ -88,6 +123,17 @@ class LidarOdometry:
         self._extract_batched = jax.jit(jax.vmap(extract))
         self._match = match
         self._match_pairs = jax.jit(jax.vmap(match))
+
+        @jax.jit
+        def match_idx(stacked, src_idx, tgt_idx, inits):
+            """Gather-then-vmapped-match in ONE dispatch: the per-chunk
+            host-side tree_map gathers cost ~10 device ops each (~49 ms
+            of tunnel dispatch overhead per chunk, icp_bench)."""
+            src = {k: stacked[k][src_idx] for k in _FRAME_KEYS}
+            tgt = {k: stacked[k][tgt_idx] for k in _FRAME_KEYS}
+            return jax.vmap(match)(src, tgt, inits)
+
+        self._match_idx = match_idx
 
     def _pad_host(self, pts: np.ndarray):
         cap = self.cfg.capacity
@@ -209,11 +255,8 @@ class LidarOdometry:
             # dispatch reuses the one compiled (pair_chunk, ...) trace
             at = np.minimum(np.arange(s0, s0 + pair_chunk), m - 1)
             idx = pair_idx[at]
-            res = self._match_pairs(
-                jax.tree_util.tree_map(lambda a: a[idx + 1], stacked),
-                jax.tree_util.tree_map(lambda a: a[idx], stacked),
-                inits[at],
-            )
+            res = self._match_idx(stacked, jnp.asarray(idx + 1),
+                                  jnp.asarray(idx), inits[at])
             keep = min(pair_chunk, m - s0)
             # keep results ON DEVICE; one concatenated fetch below — a
             # per-chunk np.asarray costs a tunnel round trip each
@@ -253,12 +296,10 @@ class LidarOdometry:
             T = T.astype(np.float32)
         else:
             T = np.zeros((0, 4, 4), np.float32)
-        # compose + populate exactly what the sequential chain would
-        self._frames = [
-            {key: stacked[key][i] for key in
-             ("obst", "obst_valid", "ground", "ground_valid")}
-            for i in range(k)
-        ]
+        # compose + populate exactly what the sequential chain would —
+        # but frames stay STACKED (lazy per-frame slicing; see
+        # _StackedFrames: eager slicing cost ~4 dispatches/frame)
+        self._frames = _StackedFrames(stacked)
         self.poses = [eye.copy()]
         self.edges = []
         for i in range(k - 1):
@@ -381,14 +422,26 @@ class LidarOdometry:
         inits = np.stack([
             (np.linalg.inv(self.poses[i]) @ self.poses[j]).astype(np.float32)
             for i, j in cand])
+        stacked = (self._frames.stacked
+                   if isinstance(self._frames, _StackedFrames)
+                   and not self._frames.extra else None)
         Ts, rmses, inliers = [], [], []
         for s0 in range(0, m, pair_chunk):
             at = np.minimum(np.arange(s0, s0 + pair_chunk), m - 1)
-            src = {key: jnp.stack([self._frames[cand[t][1]][key] for t in at])
-                   for key in ("obst", "obst_valid", "ground", "ground_valid")}
-            tgt = {key: jnp.stack([self._frames[cand[t][0]][key] for t in at])
-                   for key in ("obst", "obst_valid", "ground", "ground_valid")}
-            res = self._match_pairs(src, tgt, jnp.asarray(inits[at]))
+            if stacked is not None:  # one gather+match dispatch per chunk
+                res = self._match_idx(
+                    stacked,
+                    jnp.asarray(np.array([cand[t][1] for t in at])),
+                    jnp.asarray(np.array([cand[t][0] for t in at])),
+                    jnp.asarray(inits[at]))
+            else:
+                src = {key: jnp.stack(
+                    [self._frames[cand[t][1]][key] for t in at])
+                    for key in _FRAME_KEYS}
+                tgt = {key: jnp.stack(
+                    [self._frames[cand[t][0]][key] for t in at])
+                    for key in _FRAME_KEYS}
+                res = self._match_pairs(src, tgt, jnp.asarray(inits[at]))
             keep = min(pair_chunk, m - s0)
             Ts.append(res.transform[:keep])
             rmses.append(res.rmse[:keep])
