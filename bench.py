@@ -130,6 +130,10 @@ def main():
     import jax
 
     from patchwork_tpu import PatchworkConfig
+    from patchwork_tpu.core.device import enable_compilation_cache
+
+    enable_compilation_cache()  # slope timing already excludes compile;
+    # this just stops fresh processes re-paying multi-second XLA compiles
     from patchwork_tpu.io.synthetic import (demo_point_cloud,
                                             fused_iac_cloud,
                                             velodyne_like_cloud)

@@ -200,6 +200,12 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     t_start = time.perf_counter()
 
+    # persistent XLA compile cache: CLI invocations are one-shot processes
+    # and XLA:TPU compile dominates their wall time (core/device.py)
+    from .core.device import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if args.launch:
         from .launch import load_launch, run_launch
 

@@ -135,6 +135,26 @@ class LidarOdometry:
 
         self._match_idx = match_idx
 
+        @jax.jit
+        def match_many(stacked, src_idx, tgt_idx, inits):
+            """A whole pass of pair solves in ONE device dispatch.
+
+            (C, chunk)-shaped index arrays; lax.map runs the vmapped
+            chunk solver sequentially ON DEVICE — after the per-chunk
+            dispatch fix the ICP stage was still ~400 ms/chunk of tunnel
+            round-trip latency (14.2 s at 1000 kf, run7); this removes
+            the host from the loop entirely (kernel floor: 1.23 ms/pair,
+            tools/icp_bench.py)."""
+            def one_chunk(args):
+                si, ti, init = args
+                src = {k: stacked[k][si] for k in _FRAME_KEYS}
+                tgt = {k: stacked[k][ti] for k in _FRAME_KEYS}
+                return jax.vmap(match)(src, tgt, init)
+
+            return jax.lax.map(one_chunk, (src_idx, tgt_idx, inits))
+
+        self._match_many = match_many
+
     def _pad_host(self, pts: np.ndarray):
         cap = self.cfg.capacity
         n = min(len(pts), cap)
@@ -248,22 +268,24 @@ class LidarOdometry:
         """Vmapped ICP of pairs (i -> i+1), ``pair_chunk`` per dispatch."""
         m = len(pair_idx)
         pair_chunk = min(pair_chunk, max(m, 1))
-        Ts, rmses = [], []
-        inits = jnp.asarray(inits)
-        for s0 in range(0, m, pair_chunk):
-            # ragged tail is padded by REPEATING the last pair so every
-            # dispatch reuses the one compiled (pair_chunk, ...) trace
-            at = np.minimum(np.arange(s0, s0 + pair_chunk), m - 1)
-            idx = pair_idx[at]
-            res = self._match_idx(stacked, jnp.asarray(idx + 1),
-                                  jnp.asarray(idx), inits[at])
-            keep = min(pair_chunk, m - s0)
-            # keep results ON DEVICE; one concatenated fetch below — a
-            # per-chunk np.asarray costs a tunnel round trip each
-            Ts.append(res.transform[:keep])
-            rmses.append(res.rmse[:keep])
-        return (np.asarray(jnp.concatenate(Ts)),
-                np.asarray(jnp.concatenate(rmses)))
+        # whole pass in ONE dispatch: (C, chunk) index grid, ragged tail
+        # REPEATS the last pair.  C is bucketed to the next power of two
+        # so the number of distinct (C, chunk) jit specializations stays
+        # logarithmic — with the persistent compilation cache each is
+        # compiled once EVER, not once per process.
+        n_chunks = -(-m // pair_chunk)
+        c = 1
+        while c < n_chunks:
+            c *= 2
+        at = np.minimum(np.arange(c * pair_chunk), m - 1)
+        idx = pair_idx[at].reshape(c, pair_chunk)
+        init_g = jnp.asarray(np.asarray(inits)[at].reshape(
+            c, pair_chunk, 4, 4))
+        res = self._match_many(stacked, jnp.asarray(idx + 1),
+                               jnp.asarray(idx), init_g)
+        Ts = np.asarray(res.transform).reshape(-1, 4, 4)[:m]
+        rmses = np.asarray(res.rmse).reshape(-1)[:m]
+        return Ts, rmses
 
     def _ingest_parallel(self, stacked: dict, pair_chunk: int) -> None:
         """Parallel ICP chain: full pass from identity, selective retry."""

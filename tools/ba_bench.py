@@ -99,7 +99,10 @@ def main():
         os.environ["PATCHWORK_TPU_BA_INV"] = args.inv
 
     import jax
+    from patchwork_tpu.core.device import enable_compilation_cache
     from patchwork_tpu.slam.ba import bundle_adjust, ba_residuals
+
+    enable_compilation_cache()
 
     t0 = time.perf_counter()
     prob = synth_problem(args.k, args.landmarks, args.obs_per_kf)

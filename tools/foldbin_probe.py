@@ -63,11 +63,34 @@ def main():
                          axis=1).astype(jnp.int32)
         return d, a, ring, sector
 
+    # Mosaic (Pallas TPU) has NO atan2/arctan lowering at all
+    # (NotImplementedError: atan2, jax 0.8.x — first decisive fact of this
+    # probe).  The only in-kernel option is a hand-rolled implementation;
+    # this Cephes-style atanf (the same family as the kernel's in-kernel
+    # acos) quantifies how far any such reimplementation diverges from
+    # XLA:TPU's atan2 — ulps AND binned ids.
+    def _atan_cephes(z):  # |z| <= 1, Cephes atanf minimax polynomial
+        z2 = z * z
+        p = ((np.float32(8.05374449538e-2) * z2
+              - np.float32(1.38776856032e-1)) * z2
+             + np.float32(1.99777106478e-1)) * z2 - np.float32(3.33329491539e-1)
+        return z * z2 * p + z
+
+    def _atan2_handrolled(y, x):
+        ax, ay = jnp.abs(x), jnp.abs(y)
+        hi = jnp.maximum(ax, ay)
+        q = jnp.where(hi > 0, jnp.minimum(ax, ay) / jnp.where(hi > 0, hi, 1.0),
+                      0.0)
+        t = _atan_cephes(q)
+        t = jnp.where(ay > ax, np.float32(math.pi / 2) - t, t)
+        t = jnp.where(x < 0, np.float32(math.pi) - t, t)
+        return jnp.where(y < 0, -t, t)
+
     def kernel(x_ref, y_ref, d_ref, a_ref, ring_ref, sec_ref):
         x = x_ref[:]
         y = y_ref[:]
         d = jnp.sqrt(x * x + y * y)
-        a = jnp.arctan2(y, x)
+        a = _atan2_handrolled(y, x)
         a = jnp.where(a < 0, a + two_pi, a)
         ring = jnp.zeros(x.shape, jnp.int32)
         for e in r_e[1:-1]:
@@ -133,12 +156,15 @@ def main():
         "unit": "bool",
         "platform": jax.devices()[0].platform,
         "points": args.points,
+        "mosaic_native_atan2": False,
         "rows": rows,
-        "verdict": ("SAFE: Mosaic sqrt/atan2 bin identically to XLA on "
-                    "these scans — kernel folding preserves exact parity"
+        "verdict": ("SAFE: in-kernel sqrt + hand-rolled atan2 bin "
+                    "identically to XLA on these scans"
                     if ids_identical else
-                    "REJECT: in-kernel binning reassigns ring/sector ids "
-                    "vs XLA — folding cannot preserve the exact-mode "
+                    "REJECT: Mosaic has no native atan2 (NotImplemented) "
+                    "and the hand-rolled Cephes atan2 reassigns "
+                    "ring/sector ids vs XLA — folding the binning into "
+                    "the kernel prologue cannot preserve the exact-mode "
                     "bit-parity contract"),
     }
     print(json.dumps(out))

@@ -77,7 +77,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from patchwork_tpu.core.device import enable_compilation_cache
     from patchwork_tpu.slam.odometry import LidarOdometry, OdometryConfig
+
+    enable_compilation_cache()
 
     cfg = OdometryConfig()
     odo = LidarOdometry(cfg=cfg)

@@ -60,9 +60,12 @@ def run(num_keyframes: int = 100, seed: int = 3, ba_iters: int = 4,
         laps: int | None = None, icp: str = "sequential",
         batch: int = 8, pair_chunk: int = 32, log=print):
     from patchwork_tpu import PatchworkConfig
+    from patchwork_tpu.core.device import enable_compilation_cache
     from patchwork_tpu.slam import LidarOdometry
     from patchwork_tpu.slam.landmarks import refine_with_ba
     from patchwork_tpu.slam.odometry import OdometryConfig
+
+    enable_compilation_cache()  # one-shot process: reuse XLA:TPU compiles
 
     if laps is None:
         laps = max(1, num_keyframes // 100)   # constant per-frame motion
