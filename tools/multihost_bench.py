@@ -247,17 +247,33 @@ def _synth_ba_problem(n_obs: int, seed: int = 0, pad_to: int | None = None):
     return BAProblem, poses, points, obs_k, obs_l, obs_p, obs_w
 
 
-def _slope_time(fn, sync, reps):
+def _slope_time(fn, sync, reps, min_slope_s: float = 0.5, max_reps: int = 256):
+    """Slope timing with an adaptive rep count.
+
+    Under heavy core oversubscription (P=8 -> 24 processes on 2 cores)
+    a fixed small rep count produced t(2R)-t(R) ~ 0 for some workers and
+    nonsense rates (the discarded first SCALING_r05 attempt measured one
+    worker at 4.8e10 scans/s).  Reps double until the slope window is at
+    least ``min_slope_s`` of measured wall time.  Returns
+    (per_rep_s, window) where window = (t_start, t_end) of the final
+    timing measurement for cross-worker overlap validation.
+    """
     import time as _t
-    t_at = {}
-    for r in (reps, 2 * reps):
-        t0 = _t.perf_counter()
-        out = None
-        for _ in range(r):
-            out = fn()
-        sync(out)
-        t_at[r] = _t.perf_counter() - t0
-    return max(t_at[2 * reps] - t_at[reps], 1e-9) / reps
+    while True:
+        t_at = {}
+        w0 = _t.perf_counter()
+        for r in (reps, 2 * reps):
+            t0 = _t.perf_counter()
+            out = None
+            for _ in range(r):
+                out = fn()
+            sync(out)
+            t_at[r] = _t.perf_counter() - t0
+        w1 = _t.perf_counter()
+        slope = t_at[2 * reps] - t_at[reps]
+        if slope >= min_slope_s or reps >= max_reps:
+            return max(slope, 1e-9) / reps, (w0, w1)
+        reps *= 2
 
 
 def _worker_scale(args) -> int:
@@ -294,11 +310,12 @@ def _worker_scale(args) -> int:
     gval = jax.device_put(valid, NamedSharding(mesh, P("dp", None)))
     res = fn(gxyz, gval)
     jax.block_until_ready(res.ground)  # compile + warm
-    step_s = _slope_time(lambda: fn(gxyz, gval),
-                         lambda r: jax.block_until_ready(r.ground),
-                         args.bench_reps or 4)
+    step_s, win = _slope_time(lambda: fn(gxyz, gval),
+                              lambda r: jax.block_until_ready(r.ground),
+                              args.bench_reps or 4)
     result = {"process": args.worker, "procs": args.procs,
-              "fused_dp_scans_per_s": round(b / step_s, 3)}
+              "fused_dp_scans_per_s": round(b / step_s, 3),
+              "window": [round(w, 3) for w in win]}
 
     if args.ba_obs:
         from patchwork_tpu.slam import bundle_adjust_sharded
@@ -314,14 +331,30 @@ def _worker_scale(args) -> int:
         solve = jax.jit(lambda p: bundle_adjust_sharded(
             p, mesh, axis="dp", iters=2, solver="pcg"))
         jax.block_until_ready(solve(prob).poses)
-        ba_s = _slope_time(lambda: solve(prob),
-                           lambda o: jax.block_until_ready(o.poses), 2)
+        ba_s, _ = _slope_time(lambda: solve(prob),
+                              lambda o: jax.block_until_ready(o.poses), 2)
         result["ba_solve_s"] = round(ba_s, 4)
         result["ba_obs"] = args.ba_obs
 
     print("MHRESULT " + json.dumps(result), flush=True)
     jax.distributed.shutdown()
     return 0
+
+
+def _file_barrier(barrier_dir: str, worker: int, procs: int,
+                  timeout_s: float = 600.0):
+    """All-worker rendezvous via ready files (no process group needed)."""
+    import time as _t
+
+    open(os.path.join(barrier_dir, f"ready_{worker}"), "w").close()
+    t0 = _t.perf_counter()
+    while _t.perf_counter() - t0 < timeout_s:
+        n = sum(os.path.exists(os.path.join(barrier_dir, f"ready_{i}"))
+                for i in range(procs))
+        if n == procs:
+            return True
+        _t.sleep(0.1)
+    return False
 
 
 def _worker_independent(args) -> int:
@@ -349,11 +382,18 @@ def _worker_independent(args) -> int:
     gxyz, gval = jnp.asarray(xyz), jnp.asarray(valid)
     res = fn(gxyz, gval)
     jax.block_until_ready(res.ground)
-    step_s = _slope_time(lambda: fn(gxyz, gval),
-                         lambda r: jax.block_until_ready(r.ground),
-                         args.bench_reps or 4)
-    result = {"process": args.worker,
-              "fused_dp_scans_per_s": round(b / step_s, 3)}
+    # rendezvous AFTER compile/warm: per-worker compile skew would
+    # otherwise let early finishers time on idle cores, overcounting the
+    # concurrent aggregate
+    synced = True
+    if args.barrier_dir:
+        synced = _file_barrier(args.barrier_dir, args.worker, args.procs)
+    step_s, win = _slope_time(lambda: fn(gxyz, gval),
+                              lambda r: jax.block_until_ready(r.ground),
+                              args.bench_reps or 4)
+    result = {"process": args.worker, "barrier_ok": synced,
+              "fused_dp_scans_per_s": round(b / step_s, 3),
+              "window": [round(w, 3) for w in win]}
 
     if args.ba_obs:
         from patchwork_tpu.slam import bundle_adjust
@@ -364,8 +404,10 @@ def _worker_independent(args) -> int:
                            (poses, points, ok, ol, op, ow)))
         solve = jax.jit(lambda p: bundle_adjust(p, iters=2, solver="pcg"))
         jax.block_until_ready(solve(prob).poses)
-        ba_s = _slope_time(lambda: solve(prob),
-                           lambda o: jax.block_until_ready(o.poses), 2)
+        if args.barrier_dir:
+            _file_barrier(args.barrier_dir + "_ba", args.worker, args.procs)
+        ba_s, _ = _slope_time(lambda: solve(prob),
+                              lambda o: jax.block_until_ready(o.poses), 2)
         result["ba_solve_s"] = round(ba_s, 4)
         result["ba_obs"] = args.ba_obs
 
@@ -455,8 +497,14 @@ def _launch(args) -> int:
 
 
 def _spawn_workers(procs: int, mode: str, points: int, bench_reps: int,
-                   ba_obs: int, timeout: float):
+                   ba_obs: int, timeout: float, barrier_dir: str = ""):
     """Launch ``procs`` concurrent workers of this script; parse results."""
+    if barrier_dir:
+        import shutil
+        import tempfile
+        for d in (barrier_dir, barrier_dir + "_ba"):
+            shutil.rmtree(d, ignore_errors=True)
+            os.makedirs(d, exist_ok=True)
     port = _free_port()
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
@@ -472,7 +520,7 @@ def _spawn_workers(procs: int, mode: str, points: int, bench_reps: int,
              "--worker", str(i), "--procs", str(procs),
              "--port", str(port), "--points", str(points),
              "--mode", mode, "--bench-reps", str(bench_reps),
-             "--ba-obs", str(ba_obs)],
+             "--ba-obs", str(ba_obs), "--barrier-dir", barrier_dir],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, env=env, cwd=REPO)
         for i in range(procs)
@@ -501,20 +549,27 @@ def _scaling(args) -> int:
                               _BA_OBS_BASE * p, args.timeout)
         indep = _spawn_workers(p, "independent", args.points,
                                args.bench_reps or 4, _BA_OBS_BASE,
-                               args.timeout)
+                               args.timeout,
+                               barrier_dir=f"/tmp/patchwork_scale_bar_{p}")
         # distributed: every worker reports the same GLOBAL throughput
         # (SPMD lockstep) -> median across workers.  independent: each
-        # reports its own local rate; the aggregate is the sum (they ran
-        # concurrently on the same silicon).
+        # reports its own local rate; the aggregate is the sum, valid
+        # only while the timing windows actually overlapped.
         dist_rate = statistics.median(
             r["fused_dp_scans_per_s"] for r in dist)
         indep_rate = sum(r["fused_dp_scans_per_s"] for r in indep)
+        wins = [r["window"] for r in indep]
+        shared = min(w[1] for w in wins) - max(w[0] for w in wins)
+        longest = max(w[1] - w[0] for w in wins)
+        overlap = shared / longest if longest > 0 else 0.0
         row = {
             "procs": p,
             "global_devices": p * _LOCAL_DEVICES,
             "fused_dp_dist_scans_per_s": round(dist_rate, 3),
             "fused_dp_indep_aggregate_scans_per_s": round(indep_rate, 3),
             "fused_dp_comm_efficiency": round(dist_rate / indep_rate, 4),
+            "indep_window_overlap": round(overlap, 3),
+            "overlap_valid": bool(overlap >= 0.7),
             "wall_s": round(time.perf_counter() - t0, 1),
         }
         # BA: distributed solves the GLOBAL problem (obs = base*P) in
@@ -556,7 +611,8 @@ def _scaling(args) -> int:
         "ba_obs_per_proc": _BA_OBS_BASE,
         "rows": rows,
     }
-    worst = min(r["fused_dp_comm_efficiency"] for r in rows)
+    valid_rows = [r for r in rows if r.get("overlap_valid", True)] or rows
+    worst = min(r["fused_dp_comm_efficiency"] for r in valid_rows)
     print(json.dumps({
         "metric": "fused_dp_comm_efficiency_worst",
         "value": round(worst, 4),
@@ -590,6 +646,7 @@ def main():
                     choices=["full", "scale", "independent"],
                     help=argparse.SUPPRESS)
     ap.add_argument("--ba-obs", type=int, default=0, help=argparse.SUPPRESS)
+    ap.add_argument("--barrier-dir", default="", help=argparse.SUPPRESS)
     ap.add_argument("--port", type=int, default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
     if args.worker is not None:
