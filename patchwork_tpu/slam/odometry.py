@@ -13,6 +13,7 @@ graph solvers live in pose_graph.py / ba.py.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional
 
 import numpy as np
@@ -28,6 +29,21 @@ from .scan_matching import icp_ground_constrained
 __all__ = ["OdometryConfig", "LidarOdometry"]
 
 _FRAME_KEYS = ("obst", "obst_valid", "ground", "ground_valid")
+
+# Opt-in scan-upload quantization (PATCHWORK_TPU_UPLOAD_QUANT=int16).
+# The 1000-kf extract stage is tunnel-UPLOAD-bound (CLAUDE.md roadmap;
+# 22.6 s in the best warm-cache run = the dominant remaining SLAM cost);
+# int16 fixed-point at 5 mm resolution halves the xyz payload.  The
+# +-2.5 mm quantization error sits well under the simulated sensor noise
+# (10-20 mm) and real LiDAR range accuracy, but the knob stays OFF until
+# an ATE + loop-closure A/B on hardware clears it (same protocol as the
+# bf16-NN knob, which that A/B REJECTED — quality gates decide, not
+# plausibility).
+_QUANT_SCALE = np.float32(0.005)   # meters per int16 step (+-163.8 m range)
+
+
+def _upload_quant() -> str:
+    return os.environ.get("PATCHWORK_TPU_UPLOAD_QUANT", "")
 
 
 class _StackedFrames:
@@ -121,6 +137,15 @@ class LidarOdometry:
 
         self._extract = extract
         self._extract_batched = jax.jit(jax.vmap(extract))
+
+        @jax.jit
+        def extract_batched_q(q, valid, keys):
+            """int16 fixed-point upload variant: dequantize on device
+            inside the same dispatch (no extra op round trip)."""
+            xyz = q.astype(jnp.float32) * _QUANT_SCALE
+            return jax.vmap(extract)(xyz, valid, keys)
+
+        self._extract_batched_q = extract_batched_q
         self._match = match
         self._match_pairs = jax.jit(jax.vmap(match))
 
@@ -225,11 +250,18 @@ class LidarOdometry:
             # (extract_probe 2026-08-21; 1000-kf extraction 250-320 s ->
             # expected ~15 s).
             padded = [self._pad_host(p) for p in chunk]
-            xyz_b = jnp.asarray(np.stack([x for x, _ in padded]))
+            stack = np.stack([x for x, _ in padded])
             val_b = jnp.asarray(np.stack([v for _, v in padded]))
             keys = jax.vmap(jax.random.key)(
                 jnp.asarray(seeds[s0 : s0 + len(chunk)], jnp.uint32))
-            o, ov, g, gv = self._extract_batched(xyz_b, val_b, keys)
+            if _upload_quant() == "int16":
+                q_b = np.clip(np.round(stack / _QUANT_SCALE),
+                              -32767, 32767).astype(np.int16)
+                o, ov, g, gv = self._extract_batched_q(
+                    jnp.asarray(q_b), val_b, keys)
+            else:
+                o, ov, g, gv = self._extract_batched(
+                    jnp.asarray(stack), val_b, keys)
             if parallel_icp:
                 feats.append((o, ov, g, gv))
             else:

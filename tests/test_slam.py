@@ -458,6 +458,38 @@ class TestLoopClosureSelection:
         assert len(accepted) == 5
 
 
+class TestUploadQuant:
+    """Opt-in int16 fixed-point scan upload (PATCHWORK_TPU_UPLOAD_QUANT).
+
+    Halves the tunnel-upload payload of the extract stage; +-2.5 mm
+    quantization error must stay noise-level for the pipeline."""
+
+    def test_int16_roundtrip_error_bound(self):
+        from patchwork_tpu.slam.odometry import _QUANT_SCALE
+
+        rng = np.random.default_rng(0)
+        xyz = rng.uniform(-120, 120, (4096, 3)).astype(np.float32)
+        q = np.clip(np.round(xyz / _QUANT_SCALE), -32767, 32767).astype(
+            np.int16)
+        back = q.astype(np.float32) * _QUANT_SCALE
+        # half a quantization step plus the f32 ulp of the dequant product
+        assert np.abs(back - xyz).max() <= _QUANT_SCALE / 2 * 1.02
+
+    def test_pipeline_quality_with_quant(self, monkeypatch):
+        monkeypatch.setenv("PATCHWORK_TPU_UPLOAD_QUANT", "int16")
+        world = simulate_world(seed=5, num_pillars=50)
+        scans, gt = simulate_sequence(num_frames=6, seed=2, world=world,
+                                      step_xy=0.8)
+        odo = LidarOdometry(
+            patchwork=PatchworkConfig(filtering_radius=80.0, max_levels=1),
+            cfg=OdometryConfig(capacity=16384, obstacle_samples=512,
+                               ground_samples=256),
+        )
+        odo.add_scans(scans, parallel_icp=True, batch=3)
+        ate = odo.trajectory_error(gt)
+        assert ate < 0.25, ate  # same bound as the unquantized path
+
+
 class TestCGSolver:
     """Matrix-free block-Jacobi PCG vs the dense LU path (pose_graph.py)."""
 
