@@ -247,33 +247,29 @@ def _synth_ba_problem(n_obs: int, seed: int = 0, pad_to: int | None = None):
     return BAProblem, poses, points, obs_k, obs_l, obs_p, obs_w
 
 
-def _slope_time(fn, sync, reps, min_slope_s: float = 0.5, max_reps: int = 256):
-    """Slope timing with an adaptive rep count.
+def _timebox(fn, sync, box_s: float = 15.0):
+    """Time-boxed step counting: run fn for ~box_s, return (steps, t0, t1).
 
-    Under heavy core oversubscription (P=8 -> 24 processes on 2 cores)
-    a fixed small rep count produced t(2R)-t(R) ~ 0 for some workers and
-    nonsense rates (the discarded first SCALING_r05 attempt measured one
-    worker at 4.8e10 scans/s).  Reps double until the slope window is at
-    least ``min_slope_s`` of measured wall time.  Returns
-    (per_rep_s, window) where window = (t_start, t_end) of the final
-    timing measurement for cross-worker overlap validation.
+    Replaces slope timing for the scaling arms: under heavy core
+    oversubscription adaptive-rep slope windows desynchronize across
+    workers (a finished worker frees cores and the stragglers' rates
+    overcount — the first two SCALING_r05 attempts produced nonsense at
+    P=8 and non-overlapping windows at P>=2).  With a fixed wall-clock
+    box entered through a post-warmup barrier, the launcher can compute
+    the honest concurrent aggregate as total_steps / makespan.  Sync
+    after every step keeps the count honest (CPU backend: no tunnel,
+    block_until_ready is a real barrier and per-step sync cost is
+    negligible next to the engine step).
     """
     import time as _t
+    t0 = _t.perf_counter()
+    steps = 0
     while True:
-        t_at = {}
-        w0 = _t.perf_counter()
-        for r in (reps, 2 * reps):
-            t0 = _t.perf_counter()
-            out = None
-            for _ in range(r):
-                out = fn()
-            sync(out)
-            t_at[r] = _t.perf_counter() - t0
-        w1 = _t.perf_counter()
-        slope = t_at[2 * reps] - t_at[reps]
-        if slope >= min_slope_s or reps >= max_reps:
-            return max(slope, 1e-9) / reps, (w0, w1)
-        reps *= 2
+        sync(fn())
+        steps += 1
+        t1 = _t.perf_counter()
+        if t1 - t0 >= box_s:
+            return steps, t0, t1
 
 
 def _worker_scale(args) -> int:
@@ -305,17 +301,34 @@ def _worker_scale(args) -> int:
     xyz = np.stack([demo_point_cloud(n, seed=i) for i in range(b)])
     valid = np.ones((b, n), bool)
     mesh = make_mesh(n_global, dp=n_global, sp=1)
-    fn = make_shardmap_fused(cfg, mesh)
+    fused = make_shardmap_fused(cfg, mesh, with_counts=True)
+
+    # one step = the production streaming pipeline INCLUDING the global
+    # summary reduce: the per-frame counts are dp-sharded, so the global
+    # sum forces one cross-process all-reduce per step — without it the
+    # fused-dp loop carries no collective at all and a "distributed"
+    # timing arm would trivially equal the independent one.
+    @jax.jit
+    def step(x, v):
+        _, gcnt, _ = fused(x, v)
+        return jnp.sum(gcnt)
+
     gxyz = jax.device_put(xyz, NamedSharding(mesh, P("dp", None, None)))
     gval = jax.device_put(valid, NamedSharding(mesh, P("dp", None)))
-    res = fn(gxyz, gval)
-    jax.block_until_ready(res.ground)  # compile + warm
-    step_s, win = _slope_time(lambda: fn(gxyz, gval),
-                              lambda r: jax.block_until_ready(r.ground),
-                              args.bench_reps or 4)
+    float(step(gxyz, gval))  # compile + warm
+    # FIXED step count, not a timebox: the per-step all-reduce makes the
+    # loop lockstep across processes — a worker leaving a timeboxed loop
+    # early would deadlock the others' next collective.
+    steps = args.bench_reps or 40
+    w0 = time.perf_counter()
+    for _ in range(steps):
+        out = step(gxyz, gval)
+    float(out)
+    w1 = time.perf_counter()
     result = {"process": args.worker, "procs": args.procs,
-              "fused_dp_scans_per_s": round(b / step_s, 3),
-              "window": [round(w, 3) for w in win]}
+              "scans": steps * b,
+              "window": [round(w0, 3), round(w1, 3)],
+              "fused_dp_scans_per_s": round(steps * b / (w1 - w0), 3)}
 
     if args.ba_obs:
         from patchwork_tpu.slam import bundle_adjust_sharded
@@ -331,9 +344,15 @@ def _worker_scale(args) -> int:
         solve = jax.jit(lambda p: bundle_adjust_sharded(
             p, mesh, axis="dp", iters=2, solver="pcg"))
         jax.block_until_ready(solve(prob).poses)
-        ba_s, _ = _slope_time(lambda: solve(prob),
-                              lambda o: jax.block_until_ready(o.poses), 2)
-        result["ba_solve_s"] = round(ba_s, 4)
+        bsteps = 8  # fixed count: psum-lockstep, same deadlock argument
+        b0 = time.perf_counter()
+        for _ in range(bsteps):
+            out = solve(prob)
+        jax.block_until_ready(out.poses)
+        b1 = time.perf_counter()
+        result["ba_steps"] = bsteps
+        result["ba_window"] = [round(b0, 3), round(b1, 3)]
+        result["ba_solve_s"] = round((b1 - b0) / bsteps, 4)
         result["ba_obs"] = args.ba_obs
 
     print("MHRESULT " + json.dumps(result), flush=True)
@@ -378,22 +397,26 @@ def _worker_independent(args) -> int:
     xyz = np.stack([demo_point_cloud(n, seed=i) for i in range(b)])
     valid = np.ones((b, n), bool)
     mesh = make_mesh(n_local, dp=n_local, sp=1)
-    fn = make_shardmap_fused(cfg, mesh)
+    fused = make_shardmap_fused(cfg, mesh, with_counts=True)
+
+    @jax.jit
+    def step(x, v):  # same program shape as the scale arm, local reduce
+        _, gcnt, _ = fused(x, v)
+        return jnp.sum(gcnt)
+
     gxyz, gval = jnp.asarray(xyz), jnp.asarray(valid)
-    res = fn(gxyz, gval)
-    jax.block_until_ready(res.ground)
+    float(step(gxyz, gval))  # compile + warm
     # rendezvous AFTER compile/warm: per-worker compile skew would
     # otherwise let early finishers time on idle cores, overcounting the
     # concurrent aggregate
     synced = True
     if args.barrier_dir:
         synced = _file_barrier(args.barrier_dir, args.worker, args.procs)
-    step_s, win = _slope_time(lambda: fn(gxyz, gval),
-                              lambda r: jax.block_until_ready(r.ground),
-                              args.bench_reps or 4)
+    steps, w0, w1 = _timebox(lambda: step(gxyz, gval), float)
     result = {"process": args.worker, "barrier_ok": synced,
-              "fused_dp_scans_per_s": round(b / step_s, 3),
-              "window": [round(w, 3) for w in win]}
+              "scans": steps * b,
+              "window": [round(w0, 3), round(w1, 3)],
+              "fused_dp_scans_per_s": round(steps * b / (w1 - w0), 3)}
 
     if args.ba_obs:
         from patchwork_tpu.slam import bundle_adjust
@@ -406,9 +429,12 @@ def _worker_independent(args) -> int:
         jax.block_until_ready(solve(prob).poses)
         if args.barrier_dir:
             _file_barrier(args.barrier_dir + "_ba", args.worker, args.procs)
-        ba_s, _ = _slope_time(lambda: solve(prob),
-                              lambda o: jax.block_until_ready(o.poses), 2)
-        result["ba_solve_s"] = round(ba_s, 4)
+        bsteps, b0, b1 = _timebox(
+            lambda: solve(prob),
+            lambda o: jax.block_until_ready(o.poses), box_s=10.0)
+        result["ba_steps"] = bsteps
+        result["ba_window"] = [round(b0, 3), round(b1, 3)]
+        result["ba_solve_s"] = round((b1 - b0) / bsteps, 4)
         result["ba_obs"] = args.ba_obs
 
     print("MHRESULT " + json.dumps(result), flush=True)
@@ -551,17 +577,23 @@ def _scaling(args) -> int:
                                args.bench_reps or 4, _BA_OBS_BASE,
                                args.timeout,
                                barrier_dir=f"/tmp/patchwork_scale_bar_{p}")
-        # distributed: every worker reports the same GLOBAL throughput
-        # (SPMD lockstep) -> median across workers.  independent: each
-        # reports its own local rate; the aggregate is the sum, valid
-        # only while the timing windows actually overlapped.
-        dist_rate = statistics.median(
-            r["fused_dp_scans_per_s"] for r in dist)
-        indep_rate = sum(r["fused_dp_scans_per_s"] for r in indep)
+        # distributed: the per-step all-reduce makes the program lockstep;
+        # throughput = global scans / makespan across workers.
+        # independent: barrier-released concurrent timeboxes; aggregate =
+        # total scans / makespan (work-conserving — idle tails from skew
+        # penalize honestly instead of overcounting).
+        def _makespan_rate(rows):
+            scans = sum(r["scans"] for r in rows)
+            span = (max(r["window"][1] for r in rows)
+                    - min(r["window"][0] for r in rows))
+            return scans / span, span
+
+        dist_rate, _ = _makespan_rate(dist)
+        dist_rate /= p  # every worker counted the same GLOBAL batch
+        indep_rate, ispan = _makespan_rate(indep)
         wins = [r["window"] for r in indep]
         shared = min(w[1] for w in wins) - max(w[0] for w in wins)
-        longest = max(w[1] - w[0] for w in wins)
-        overlap = shared / longest if longest > 0 else 0.0
+        overlap = shared / ispan if ispan > 0 else 0.0
         row = {
             "procs": p,
             "global_devices": p * _LOCAL_DEVICES,
