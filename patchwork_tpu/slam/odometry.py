@@ -180,8 +180,8 @@ class LidarOdometry:
 
         self._match_many = match_many
 
-    def _pad_host(self, pts: np.ndarray):
-        cap = self.cfg.capacity
+    def _pad_host(self, pts: np.ndarray, cap: int | None = None):
+        cap = self.cfg.capacity if cap is None else cap
         n = min(len(pts), cap)
         xyz = np.zeros((cap, 3), np.float32)
         xyz[:n] = np.asarray(pts, np.float32)[:n, :3]
@@ -241,6 +241,14 @@ class LidarOdometry:
         feats = []   # parallel mode: collect features, defer matching
         t0 = _time.perf_counter()
         o = None
+        # auto-shrink the padded capacity to the batch's real need:
+        # cfg.capacity is an upper bound, but scans are usually far
+        # smaller (~19k pts padded to 32768 made ~40% of the tunnel
+        # upload zeros).  Rounding up to 4096 keeps the shape-bucket
+        # count (and thus jit specializations) tiny; the persistent
+        # compile cache amortizes each bucket once ever.
+        longest = max((len(p) for p in scans), default=0)
+        cap = min(self.cfg.capacity, max(4096, -(-longest // 4096) * 4096))
         for s0 in range(0, len(scans), batch):
             chunk = scans[s0 : s0 + batch]
             # pad + stack on HOST, upload each chunk as ONE transfer: the
@@ -249,7 +257,7 @@ class LidarOdometry:
             # measured ~2.4 s/chunk vs ~0.12 s for the stacked upload
             # (extract_probe 2026-08-21; 1000-kf extraction 250-320 s ->
             # expected ~15 s).
-            padded = [self._pad_host(p) for p in chunk]
+            padded = [self._pad_host(p, cap) for p in chunk]
             stack = np.stack([x for x, _ in padded])
             val_b = jnp.asarray(np.stack([v for _, v in padded]))
             keys = jax.vmap(jax.random.key)(
