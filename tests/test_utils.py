@@ -155,6 +155,28 @@ class TestDeviceAndDebug:
         rate, _ = bench._measure_guarded("k", deg, None, 1, 1, 1, None)
         assert rate == 980.0 and not deg and len(calls) == 1
 
+    def test_enable_compilation_cache(self, tmp_path, monkeypatch):
+        """core/device.enable_compilation_cache: idempotent, env-overridable,
+        'off' disables, and the jax config actually points at the dir."""
+        import jax
+
+        from patchwork_tpu.core.device import enable_compilation_cache
+
+        d = str(tmp_path / "xla_cache")
+        monkeypatch.setenv("PATCHWORK_TPU_COMPILE_CACHE", d)
+        assert enable_compilation_cache() == d
+        assert os.path.isdir(d)
+        assert jax.config.jax_compilation_cache_dir == d
+        # explicit path wins over env; second call is idempotent
+        d2 = str(tmp_path / "other")
+        assert enable_compilation_cache(d2) == d2
+        assert enable_compilation_cache(d2) == d2
+        assert jax.config.jax_compilation_cache_dir == d2
+        # 'off' leaves config untouched
+        monkeypatch.setenv("PATCHWORK_TPU_COMPILE_CACHE", "off")
+        enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == d2
+
     def test_multihost_noop(self):
         from patchwork_tpu.parallel.multihost import (
             host_summary,
