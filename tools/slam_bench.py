@@ -58,7 +58,8 @@ def simulate_loop_drive(num_frames: int, seed: int = 0,
 
 def run(num_keyframes: int = 100, seed: int = 3, ba_iters: int = 4,
         laps: int | None = None, icp: str = "sequential",
-        batch: int = 8, pair_chunk: int = 32, log=print):
+        batch: int = 8, pair_chunk: int = 32,
+        max_candidates: int | None = None, log=print):
     from patchwork_tpu import PatchworkConfig
     from patchwork_tpu.core.device import enable_compilation_cache
     from patchwork_tpu.slam import LidarOdometry
@@ -95,8 +96,8 @@ def run(num_keyframes: int = 100, seed: int = 3, ba_iters: int = 4,
         radius=3.0 + 0.5 * (laps - 1),
         min_separation=max(10, num_keyframes // laps // 2),
         min_inliers=100,
-        max_candidates=None,        # adaptive ~K/10, spread along the
-        pair_chunk=pair_chunk)      # trajectory, chunk-vmapped verify
+        max_candidates=max_candidates,  # None: adaptive ~K/10, spread
+        pair_chunk=pair_chunk)          # along the trajectory
     t_loops = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -151,10 +152,13 @@ def main():
                     help="scans per batched segmentation dispatch")
     ap.add_argument("--pair-chunk", type=int, default=32,
                     help="ICP pair solves per dispatch (parallel mode)")
+    ap.add_argument("--max-candidates", type=int, default=None,
+                    help="loop-closure candidate budget (default ~K/10)")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
     out = run(args.keyframes, args.seed, laps=args.laps, icp=args.icp,
-              batch=args.batch, pair_chunk=args.pair_chunk)
+              batch=args.batch, pair_chunk=args.pair_chunk,
+              max_candidates=args.max_candidates)
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(out, f)
