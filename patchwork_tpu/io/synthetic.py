@@ -291,8 +291,13 @@ def _scene_sparse_far(n, rng):
     <3-seed fallback and rank-deficient plane fits; far obstacles are a
     guardrail and distant wall, each sparsely sampled."""
     n_g = int(n * 0.8)
-    # 1/r^2-ish radial density: most returns near the sensor
-    r = 2.0 + 78.0 * rng.power(4.0, n_g)            # dense core
+    # 1/r^2-ish radial density: most returns near the sensor.
+    # (1 - power(4)) has pdf 4(1-x)^3 on [0,1] — concentrated at 0, so r
+    # concentrates at 2 m.  (r5 review: rng.power(4.0) alone is the
+    # MIRROR distribution — it silently made the far field the dense
+    # region and the near field empty, the opposite of this scene's
+    # documented geometry.)
+    r = 2.0 + 78.0 * (1.0 - rng.power(4.0, n_g))    # dense core
     far = rng.random(n_g) < 0.04                    # thin far tail
     r[far] = rng.uniform(40, 80, int(far.sum()))
     az = rng.uniform(0, 2 * np.pi, n_g)

@@ -309,14 +309,14 @@ class LidarOdometry:
         m = len(pair_idx)
         pair_chunk = min(pair_chunk, max(m, 1))
         # whole pass in ONE dispatch: (C, chunk) index grid, ragged tail
-        # REPEATS the last pair.  C is bucketed to the next power of two
-        # so the number of distinct (C, chunk) jit specializations stays
-        # logarithmic — with the persistent compilation cache each is
-        # compiled once EVER, not once per process.
+        # REPEATS the last pair.  C buckets to a power of two below 4 and
+        # to the next multiple of 4 above — bounded redundant work (<= 3
+        # chunks; a pure pow2 bucket would solve up to ~2x extra pairs
+        # when n_chunks just exceeds a power of two) while the distinct
+        # (C, chunk) jit specializations stay few, each compiled once
+        # EVER under the persistent compilation cache.
         n_chunks = -(-m // pair_chunk)
-        c = 1
-        while c < n_chunks:
-            c *= 2
+        c = n_chunks if n_chunks in (1, 2) else -(-n_chunks // 4) * 4
         at = np.minimum(np.arange(c * pair_chunk), m - 1)
         idx = pair_idx[at].reshape(c, pair_chunk)
         init_g = jnp.asarray(np.asarray(inits)[at].reshape(
@@ -429,7 +429,7 @@ class LidarOdometry:
         Candidates: keyframe pairs whose estimated positions lie within
         ``radius`` but are at least ``min_separation`` keyframes apart
         (revisited places).  ``max_candidates=None`` sizes the budget
-        adaptively (~K/10, at least 10); the budget is spent SPREAD along
+        adaptively (~K/3, at least 10); the budget is spent SPREAD along
         the trajectory (nearest candidate per keyframe bucket, remainder
         by distance) rather than on the globally nearest pairs — on a
         multi-lap drive the nearest candidates all cluster in one region,

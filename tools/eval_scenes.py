@@ -31,7 +31,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def run(points: int = 65536, seeds: int = 2, log=print):
+def _log_stderr(msg):
+    print(msg, file=sys.stderr)
+
+
+def run(points: int = 65536, seeds: int = 2, log=_log_stderr):
     import jax.numpy as jnp
 
     from patchwork_tpu import PatchworkConfig
@@ -66,7 +70,7 @@ def run(points: int = 65536, seeds: int = 2, log=print):
             }
         scenes[name] = per_cfg
         log(f"# {name}: exact IoU {per_cfg['exact']['iou']:.4f} "
-            f"fast IoU {per_cfg['fast']['iou']:.4f}", file=sys.stderr)
+            f"fast IoU {per_cfg['fast']['iou']:.4f}")
 
     mean_iou = float(np.mean([s["exact"]["iou"] for s in scenes.values()]))
     return {

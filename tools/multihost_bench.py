@@ -551,16 +551,31 @@ def _spawn_workers(procs: int, mode: str, points: int, bench_reps: int,
             text=True, env=env, cwd=REPO)
         for i in range(procs)
     ]
-    outs = [w.communicate(timeout=timeout)[0] for w in workers]
-    results = []
-    for i, (w, out) in enumerate(zip(workers, outs)):
-        lines = [ln for ln in out.splitlines() if ln.startswith("MHRESULT ")]
-        if w.returncode != 0 or not lines:
-            raise RuntimeError(
-                f"worker {i} ({mode}, P={procs}) failed rc={w.returncode}:\n"
-                + out[-3000:])
-        results.append(json.loads(lines[-1][len("MHRESULT "):]))
-    return results
+    try:
+        outs = [w.communicate(timeout=timeout)[0] for w in workers]
+        results = []
+        for i, (w, out) in enumerate(zip(workers, outs)):
+            lines = [ln for ln in out.splitlines()
+                     if ln.startswith("MHRESULT ")]
+            if w.returncode != 0 or not lines:
+                raise RuntimeError(
+                    f"worker {i} ({mode}, P={procs}) failed "
+                    f"rc={w.returncode}:\n" + out[-3000:])
+            results.append(json.loads(lines[-1][len("MHRESULT "):]))
+        return results
+    finally:
+        # never leak live workers into the next arm: a timeout or a
+        # first-worker failure would otherwise leave orphaned gloo
+        # processes holding cores (and the rendezvous port), poisoning
+        # the contention-cancelling measurement that follows
+        for w in workers:
+            if w.poll() is None:
+                w.kill()
+        for w in workers:
+            try:
+                w.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                pass
 
 
 def _scaling(args) -> int:

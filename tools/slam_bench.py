@@ -96,7 +96,7 @@ def run(num_keyframes: int = 100, seed: int = 3, ba_iters: int = 4,
         radius=3.0 + 0.5 * (laps - 1),
         min_separation=max(10, num_keyframes // laps // 2),
         min_inliers=100,
-        max_candidates=max_candidates,  # None: adaptive ~K/10, spread
+        max_candidates=max_candidates,  # None: adaptive ~K/3, spread
         pair_chunk=pair_chunk)          # along the trajectory
     t_loops = time.perf_counter() - t0
 
@@ -153,7 +153,7 @@ def main():
     ap.add_argument("--pair-chunk", type=int, default=32,
                     help="ICP pair solves per dispatch (parallel mode)")
     ap.add_argument("--max-candidates", type=int, default=None,
-                    help="loop-closure candidate budget (default ~K/10)")
+                    help="loop-closure candidate budget (default ~K/3)")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
     out = run(args.keyframes, args.seed, laps=args.laps, icp=args.icp,
