@@ -460,6 +460,54 @@ class TestLoopClosureSelection:
         assert len(accepted) == 5
 
 
+class TestMatchMany:
+    """The single-dispatch whole-pass solver (lax.map over (C, chunk)
+    grids) must produce the same transforms as per-chunk vmapped solves —
+    it is pure dispatch restructuring, not a numerical change."""
+
+    def test_matches_match_pairs(self):
+        import numpy as _np
+
+        from patchwork_tpu.slam.odometry import _FRAME_KEYS
+
+        odo = LidarOdometry(
+            patchwork=PatchworkConfig(filtering_radius=80.0, max_levels=1),
+            cfg=OdometryConfig(capacity=2048, obstacle_samples=256,
+                               ground_samples=128, icp_iters=6),
+        )
+        rng = _np.random.default_rng(7)
+        k = 9
+        stacked = {
+            "obst": jnp.asarray(rng.uniform(-20, 20, (k, 256, 3)).astype(
+                _np.float32)),
+            "obst_valid": jnp.ones((k, 256), bool),
+            "ground": jnp.asarray(_np.concatenate([
+                rng.uniform(-20, 20, (k, 128, 2)),
+                rng.normal(0, 0.02, (k, 128, 1))], axis=-1).astype(
+                    _np.float32)),
+            "ground_valid": jnp.ones((k, 128), bool),
+        }
+        pair_idx = _np.arange(k - 1)
+        inits = _np.broadcast_to(_np.eye(4, dtype=_np.float32),
+                                 (k - 1, 4, 4))
+        # production whole-pass path (pads 2 chunks of 4 for 8 pairs)
+        Ts, rmses = odo._solve_pairs(stacked, pair_idx, inits, 4)
+        assert Ts.shape == (k - 1, 4, 4) and rmses.shape == (k - 1,)
+        # reference: per-chunk vmapped solves
+        for s0 in range(0, k - 1, 4):
+            at = _np.minimum(_np.arange(s0, s0 + 4), k - 2)
+            src = {key: stacked[key][at + 1] for key in _FRAME_KEYS}
+            tgt = {key: stacked[key][at] for key in _FRAME_KEYS}
+            ref = odo._match_pairs(src, tgt, jnp.asarray(inits[at]))
+            keep = min(4, k - 1 - s0)
+            np.testing.assert_allclose(
+                Ts[s0:s0 + keep], np.asarray(ref.transform)[:keep],
+                rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(
+                rmses[s0:s0 + keep], np.asarray(ref.rmse)[:keep],
+                rtol=1e-4, atol=1e-5)
+
+
 class TestUploadQuant:
     """Opt-in int16 fixed-point scan upload (PATCHWORK_TPU_UPLOAD_QUANT).
 
