@@ -17,3 +17,4 @@ from .pose_graph import (PoseGraph, ate_rmse, edge_residuals,
 from .odometry import LidarOdometry, OdometryConfig
 from .ba import BAProblem, ba_residuals, bundle_adjust, bundle_adjust_sharded
 from .landmarks import build_ba_problem, extract_observations, refine_with_ba
+from .mapping import build_map, save_map_npz, save_map_ply

@@ -460,6 +460,62 @@ class TestLoopClosureSelection:
         assert len(accepted) == 5
 
 
+class TestMapping:
+    """World-frame map assembly + npz/PLY export (slam/mapping.py)."""
+
+    def _run_odo(self):
+        world = simulate_world(seed=5, num_pillars=40)
+        scans, gt = simulate_sequence(num_frames=5, seed=2, world=world,
+                                      step_xy=0.8)
+        odo = LidarOdometry(
+            patchwork=PatchworkConfig(filtering_radius=80.0, max_levels=1),
+            cfg=OdometryConfig(capacity=16384, obstacle_samples=512,
+                               ground_samples=256),
+        )
+        odo.add_scans(scans, parallel_icp=True, batch=3)
+        return odo, world
+
+    def test_build_map_world_frame(self):
+        from patchwork_tpu.slam import build_map
+
+        odo, world = self._run_odo()
+        m = build_map(odo, voxel=None)
+        assert len(m["points"]) > 0
+        assert m["trajectory"].shape == (5, 3)
+        assert set(np.unique(m["classes"])) <= {0, 1}
+        # obstacle map points must lie near true pillar locations: with
+        # good odometry the world-frame re-projection reconstructs the
+        # world (coarse gate: within 1 m of SOME world obstacle point)
+        obst = m["points"][m["classes"] == 1]
+        wobst = world[world[:, 2] > 0.4]
+        sub = obst[:: max(1, len(obst) // 200)]
+        d = np.linalg.norm(sub[:, None, :2] - wobst[None, :, :2], axis=-1)
+        frac_near = (d.min(axis=1) < 1.0).mean()
+        assert frac_near > 0.9, frac_near
+        # voxel dedup shrinks the cloud
+        m2 = build_map(odo, voxel=1.0)
+        assert 0 < len(m2["points"]) < len(m["points"])
+
+    def test_export_roundtrip(self, tmp_path):
+        from patchwork_tpu.slam import save_map_npz, save_map_ply
+
+        odo, _ = self._run_odo()
+        npz = tmp_path / "map.npz"
+        m = save_map_npz(str(npz), odo, voxel=1.0)
+        loaded = np.load(npz)
+        np.testing.assert_array_equal(loaded["points"], m["points"])
+        np.testing.assert_array_equal(loaded["poses"], m["poses"])
+
+        ply = tmp_path / "map.ply"
+        n = save_map_ply(str(ply), odo, voxel=1.0)
+        lines = ply.read_text().splitlines()
+        assert lines[0] == "ply"
+        assert f"element vertex {n}" in "\n".join(lines[:8])
+        body = [ln for ln in lines[lines.index("end_header") + 1:] if ln]
+        assert len(body) == n
+        assert len(body[0].split()) == 6  # x y z r g b
+
+
 class TestMatchMany:
     """The single-dispatch whole-pass solver (lax.map over (C, chunk)
     grids) must produce the same transforms as per-chunk vmapped solves —

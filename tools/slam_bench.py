@@ -59,7 +59,8 @@ def simulate_loop_drive(num_frames: int, seed: int = 0,
 def run(num_keyframes: int = 100, seed: int = 3, ba_iters: int = 4,
         laps: int | None = None, icp: str = "sequential",
         batch: int = 8, pair_chunk: int = 32,
-        max_candidates: int | None = None, log=print):
+        max_candidates: int | None = None, map_out: str | None = None,
+        log=print):
     from patchwork_tpu import PatchworkConfig
     from patchwork_tpu.core.device import enable_compilation_cache
     from patchwork_tpu.slam import LidarOdometry
@@ -114,6 +115,12 @@ def run(num_keyframes: int = 100, seed: int = 3, ba_iters: int = 4,
     t_ba = time.perf_counter() - t0
     ate_ba = float(odo.trajectory_error(gt))
 
+    if map_out:
+        from patchwork_tpu.slam import save_map_ply
+
+        n_vert = save_map_ply(map_out, odo, voxel=0.5)
+        print(f"# map: {n_vert} vertices -> {map_out}", file=sys.stderr)
+
     total = t_odo + t_loops + t_graph + t_ba
     out = {
         "metric": f"slam_e2e_{num_keyframes}kf_ate_rmse",
@@ -155,10 +162,13 @@ def main():
     ap.add_argument("--max-candidates", type=int, default=None,
                     help="loop-closure candidate budget (default ~K/3)")
     ap.add_argument("--json-out", default=None)
+    ap.add_argument("--map-out", default=None,
+                    help="write the optimized world-frame map as PLY "
+                         "(colored by class, trajectory in blue)")
     args = ap.parse_args()
     out = run(args.keyframes, args.seed, laps=args.laps, icp=args.icp,
               batch=args.batch, pair_chunk=args.pair_chunk,
-              max_candidates=args.max_candidates)
+              max_candidates=args.max_candidates, map_out=args.map_out)
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(out, f)
